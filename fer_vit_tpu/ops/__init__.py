@@ -1,0 +1,11 @@
+"""Op-level building blocks: XLA-fused reference implementations plus Pallas
+TPU kernels for the hot paths.
+
+Every op has a pure-``jnp`` reference implementation (always correct, runs on
+any backend — that is what the CPU-mesh tests exercise) and, where it pays
+off, a Pallas TPU kernel selected automatically on TPU backends.
+"""
+
+from fer_vit_tpu.ops.attention import dot_product_attention, multi_head_attention
+
+__all__ = ["dot_product_attention", "multi_head_attention"]
