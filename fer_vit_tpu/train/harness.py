@@ -1,0 +1,314 @@
+"""The shared training engine: jitted train/eval epochs as ``lax.scan``.
+
+Every reference trainer shares one template (SURVEY.md §2.4): seeded
+determinism, class-balanced subsetting, inverse-frequency class weights,
+AdamW + none/cosine/plateau schedules, mixup with a second clean forward for
+train metrics (reference: train/train_latent_vit.py:108-148), best
+checkpoint on val macro-F1, unified 6-metric logging. This module is that
+template built TPU-first:
+
+* The full dataset lives in HBM (:mod:`fer_vit_tpu.data.latent_store`); an
+  **entire epoch** is one jitted ``lax.scan`` over shuffled index batches —
+  augmentation, mixup, forward/backward, optimizer update, and metric
+  accumulation (confusion matrix) all fuse into a single XLA program with
+  zero per-step host round-trips.
+* The last partial batch is padded to static shape and masked (the
+  reference's DataLoader keeps partial batches; loss/metric normalization
+  accounts for the mask exactly).
+* LR arrives each epoch as a scalar argument (plateau schedules can't be
+  baked into the program); the optimizer runs at lr=1 and the step scales
+  updates by ``lr × per-leaf multiplier`` — which also implements layer-wise
+  LR groups and optax-mask freezing without recompilation.
+* Data parallelism: batches are sharding-constrained over the mesh ``data``
+  axis inside the step; XLA inserts the gradient all-reduce over ICI.
+
+Under mixup the reference does a second, clean (non-mixed) forward in train
+mode for the train metrics (train/train_latent_vit.py:138-141) — reproduced
+here, including its BatchNorm running-stat update side effect.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import PartitionSpec as P
+
+from fer_vit_tpu.core.mesh import DATA_AXIS
+from fer_vit_tpu.data.latent_augment import LatentAugmentConfig, latent_augment
+from fer_vit_tpu.train.losses import cross_entropy
+from fer_vit_tpu.utils.metrics import confusion_update
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any  # {} for BN-free models
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 60
+    batch_size: int = 64
+    lr: float = 1e-4
+    weight_decay: float = 1e-2
+    optimizer: str = "adamw"  # adamw | sgd
+    momentum: float = 0.9  # sgd only
+    scheduler: str = "plateau"  # none | cosine | plateau | warmup_cosine
+    label_smoothing: float = 0.1
+    mixup: float = 1.0  # Beta(α, α); 0 disables
+    grad_clip: float = 0.0  # 0 disables
+    use_class_weights: bool = False
+    num_classes: int = 7
+    seed: int = 42
+    augment: Optional[LatentAugmentConfig] = None
+    eta_min: float = 0.0  # cosine floor (image trainer uses lr*0.01)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Optimizer producing the descent direction at lr=1; the step multiplies
+    by the per-epoch lr (and per-leaf multipliers). AdamW's weight decay is
+    inside the direction, so it scales with lr exactly as torch couples them."""
+    chain = []
+    if cfg.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if cfg.optimizer == "adamw":
+        chain.append(
+            optax.adamw(1.0, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=cfg.weight_decay)
+        )
+    elif cfg.optimizer == "sgd":
+        # torch SGD: grad += wd·p, then momentum buffer, then −lr·buf.
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+        if cfg.momentum > 0:
+            chain.append(optax.trace(decay=cfg.momentum))
+        chain.append(optax.scale(-1.0))
+    else:
+        raise ValueError(f"unknown optimizer: {cfg.optimizer!r}")
+    return optax.chain(*chain)
+
+
+@dataclasses.dataclass(eq=False)  # identity hash: instances key the jit cache
+class Harness:
+    """Jitted train/eval epoch runners for one model + config.
+
+    ``apply_fn(variables, x, deterministic, rngs, mutable)`` is the Flax
+    apply; ``lr_mult`` is an optional per-leaf multiplier pytree (layer-wise
+    LR and/or 0.0-freezing).
+    """
+
+    model: Any
+    cfg: TrainConfig
+    class_weights: Optional[np.ndarray] = None
+    lr_mult: Any = None  # pytree matching params, or None
+    mesh: Any = None  # optional jax.sharding.Mesh for DP constraints
+    has_batch_stats: bool = dataclasses.field(default=False, init=False)
+
+    # -- state --------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, sample_input: jax.Array) -> TrainState:
+        variables = self.model.init(rng, sample_input)
+        params = variables["params"]
+        self.has_batch_stats = "batch_stats" in variables
+        batch_stats = variables.get("batch_stats", {})
+        tx = make_optimizer(self.cfg)
+        opt_state = tx.init(params)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state)
+
+    # -- model application --------------------------------------------------
+
+    def _apply_train(self, params, batch_stats, x, rng):
+        variables = {"params": params}
+        if self.has_batch_stats:
+            variables["batch_stats"] = batch_stats
+            logits, upd = self.model.apply(
+                variables, x, deterministic=False, rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            return logits, upd["batch_stats"]
+        logits = self.model.apply(
+            variables, x, deterministic=False, rngs={"dropout": rng}
+        )
+        return logits, batch_stats
+
+    def _apply_eval(self, params, batch_stats, x):
+        variables = {"params": params}
+        if self.has_batch_stats:
+            variables["batch_stats"] = batch_stats
+        return self.model.apply(variables, x, deterministic=True)
+
+    def _constrain_batch(self, x):
+        if self.mesh is None:
+            return x
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(self.mesh, spec)
+        )
+
+    # -- single steps -------------------------------------------------------
+
+    def train_step(
+        self,
+        state: TrainState,
+        key: jax.Array,
+        xb: jax.Array,
+        yb: jax.Array,
+        mask: jax.Array,
+        lr: jax.Array,
+        class_weights: Optional[jax.Array],
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        cfg = self.cfg
+        tx = make_optimizer(cfg)
+        k_aug, k_mix, k_perm, k_drop, k_drop2 = jax.random.split(key, 5)
+
+        xb = self._constrain_batch(xb)
+        if cfg.augment is not None and cfg.augment.enabled:
+            xb = latent_augment(k_aug, xb, cfg.augment)
+
+        b = xb.shape[0]
+        if cfg.mixup > 0:
+            lam = jax.random.beta(k_mix, cfg.mixup, cfg.mixup)
+        else:
+            lam = jnp.asarray(1.0, jnp.float32)
+        perm = jax.random.permutation(k_perm, b)
+        lam_x = lam.astype(xb.dtype)
+        x_mixed = lam_x * xb + (1.0 - lam_x) * xb[perm]
+        yb_perm = yb[perm]
+        # a padded slot may be mixed with a real one; the loss terms each use
+        # the mask of *their* label stream (reference keeps full batches, so
+        # this only matters for the final partial batch)
+        mask_perm = mask[perm]
+
+        def loss_fn(params):
+            logits, new_bs = self._apply_train(params, state.batch_stats,
+                                               x_mixed, k_drop)
+            loss_a = cross_entropy(logits, yb, class_weights,
+                                   cfg.label_smoothing, mask)
+            loss_b = cross_entropy(logits, yb_perm, class_weights,
+                                   cfg.label_smoothing, mask_perm)
+            return lam * loss_a + (1.0 - lam) * loss_b, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if self.lr_mult is None:
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        else:
+            updates = jax.tree_util.tree_map(
+                lambda u, m: u * (lr * m), updates, self.lr_mult
+            )
+        new_params = optax.apply_updates(state.params, updates)
+
+        # Second clean forward in train mode for train metrics
+        # (reference: train/train_latent_vit.py:138-141).
+        logits_clean, new_bs2 = self._apply_train(new_params, new_bs, xb, k_drop2)
+        preds = jnp.argmax(logits_clean, axis=-1)
+
+        new_state = state.replace(params=new_params, batch_stats=new_bs2,
+                                  opt_state=new_opt)
+        n_valid = jnp.sum(mask.astype(jnp.float32))
+        stats = {
+            "loss_sum": loss * n_valid,
+            "n": n_valid,
+            "preds": preds,
+            "labels": yb,
+            "mask": mask,
+        }
+        return new_state, stats
+
+    def eval_step(self, state, xb, yb, mask, class_weights):
+        xb = self._constrain_batch(xb)
+        logits = self._apply_eval(state.params, state.batch_stats, xb)
+        loss = cross_entropy(logits, yb, class_weights,
+                             self.cfg.label_smoothing, mask)
+        preds = jnp.argmax(logits, axis=-1)
+        n_valid = jnp.sum(mask.astype(jnp.float32))
+        return {"loss_sum": loss * n_valid, "n": n_valid, "preds": preds,
+                "labels": yb, "mask": mask, "logits": logits}
+
+    # -- whole-epoch scans --------------------------------------------------
+
+    def _batched_indices(self, key: Optional[jax.Array], n: int):
+        """(steps, B) index array padded with −1; shuffled when key given."""
+        bs = self.cfg.batch_size
+        steps = -(-n // bs)
+        if key is not None:
+            perm = jax.random.permutation(key, n)
+        else:
+            perm = jnp.arange(n)
+        pad = steps * bs - n
+        idx = jnp.concatenate([perm, jnp.full((pad,), -1, perm.dtype)])
+        return idx.reshape(steps, bs)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_epoch(self, state, key, data_x, data_y, lr, class_weights):
+        """One full epoch: shuffle → scan(train_step) → (state, loss, cm)."""
+        n = data_x.shape[0]
+        k_shuffle, k_steps = jax.random.split(key)
+        idx = self._batched_indices(k_shuffle, n)
+
+        def body(carry, scan_in):
+            state, loss_sum, n_sum, cm = carry
+            step_i, idx_b = scan_in
+            mask = idx_b >= 0
+            safe = jnp.maximum(idx_b, 0)
+            xb = jnp.take(data_x, safe, axis=0)
+            yb = jnp.take(data_y, safe, axis=0)
+            k = jax.random.fold_in(k_steps, step_i)
+            state, stats = self.train_step(state, k, xb, yb, mask, lr,
+                                           class_weights)
+            cm = confusion_update(cm, stats["preds"], stats["labels"],
+                                  stats["mask"])
+            return (state, loss_sum + stats["loss_sum"],
+                    n_sum + stats["n"], cm), None
+
+        c = self.cfg.num_classes
+        steps = idx.shape[0]
+        init = (state, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                jnp.zeros((c, c), jnp.float32))
+        (state, loss_sum, n_sum, cm), _ = jax.lax.scan(
+            body, init, (jnp.arange(steps), idx)
+        )
+        return state, loss_sum / jnp.maximum(n_sum, 1.0), cm
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_epoch(self, state, data_x, data_y, class_weights):
+        n = data_x.shape[0]
+        idx = self._batched_indices(None, n)
+
+        def body(carry, idx_b):
+            loss_sum, n_sum, cm = carry
+            mask = idx_b >= 0
+            safe = jnp.maximum(idx_b, 0)
+            xb = jnp.take(data_x, safe, axis=0)
+            yb = jnp.take(data_y, safe, axis=0)
+            stats = self.eval_step(state, xb, yb, mask, class_weights)
+            cm = confusion_update(cm, stats["preds"], stats["labels"],
+                                  stats["mask"])
+            return (loss_sum + stats["loss_sum"], n_sum + stats["n"], cm), None
+
+        c = self.cfg.num_classes
+        init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                jnp.zeros((c, c), jnp.float32))
+        (loss_sum, n_sum, cm), _ = jax.lax.scan(body, init, idx)
+        return loss_sum / jnp.maximum(n_sum, 1.0), cm
+
+    def predictions(self, state, data_x, batch_size: Optional[int] = None):
+        """Full-dataset predictions + probabilities (for reports/eval CLIs)."""
+        bs = batch_size or self.cfg.batch_size
+        outs = []
+        for i in range(0, data_x.shape[0], bs):
+            logits = self._apply_eval(state.params, state.batch_stats,
+                                      jnp.asarray(data_x[i : i + bs]))
+            outs.append(np.asarray(logits))
+        logits = np.concatenate(outs) if outs else np.zeros((0, self.cfg.num_classes))
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        return logits.argmax(axis=-1), probs

@@ -1,0 +1,148 @@
+"""The shared fit loop used by every trainer CLI.
+
+Reproduces the reference's per-epoch protocol (reference:
+train/train_latent_vit.py:307-382): train epoch → eval → unified 6-metric
+logging → LR logging → param/grad histograms every 10 epochs → best
+checkpoint on val macro-F1 → scheduler step → final classification report +
+confusion matrix + summary JSON.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fer_vit_tpu import EMOTION_NAMES
+from fer_vit_tpu.train.harness import Harness, TrainState
+from fer_vit_tpu.train.schedulers import make_scheduler
+from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
+from fer_vit_tpu.utils.metrics import classification_report, metrics_from_confusion
+
+
+@partial(jax.jit, static_argnums=0)
+def _grad_snapshot(harness, state, xb, yb, class_weights):
+    """Gradients of the plain CE loss on one batch — for the every-10-epoch
+    gradient histograms (reference: train/train_latent_vit.py:342-344)."""
+    from fer_vit_tpu.train.losses import cross_entropy
+
+    def loss_fn(params):
+        variables = {"params": params}
+        if harness.has_batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = harness.model.apply(variables, xb, deterministic=True)
+        return cross_entropy(logits, yb, class_weights,
+                             harness.cfg.label_smoothing)
+
+    return jax.grad(loss_fn)(state.params)
+
+
+def fit(
+    harness: Harness,
+    state: TrainState,
+    train_x: np.ndarray,
+    train_y: np.ndarray,
+    val_x: np.ndarray,
+    val_y: np.ndarray,
+    logger: ExperimentLogger,
+    best_metric: str = "f1_macro",
+    hist_every: int = 10,
+    save_last_every_epoch: bool = False,
+    verbose: bool = True,
+) -> Dict:
+    cfg = harness.cfg
+    train_x = jnp.asarray(train_x)
+    train_y = jnp.asarray(train_y, jnp.int32)
+    val_x = jnp.asarray(val_x)
+    val_y = jnp.asarray(val_y, jnp.int32)
+
+    class_weights = None
+    if harness.class_weights is not None:
+        class_weights = jnp.asarray(harness.class_weights)
+
+    sched = make_scheduler(cfg.scheduler, cfg.lr, cfg.epochs, eta_min=cfg.eta_min)
+    base_key = jax.random.key(cfg.seed)
+
+    best_f1 = 0.0
+    history = []
+    for epoch in range(1, cfg.epochs + 1):
+        lr = sched.epoch_lr(epoch)
+        key = jax.random.fold_in(base_key, epoch)
+        state, train_loss, train_cm = harness.train_epoch(
+            state, key, train_x, train_y, jnp.asarray(lr, jnp.float32),
+            class_weights,
+        )
+        val_loss, val_cm = harness.eval_epoch(state, val_x, val_y, class_weights)
+
+        tm = metrics_from_confusion(np.asarray(train_cm))
+        vm = metrics_from_confusion(np.asarray(val_cm))
+        metrics = {
+            "train_loss": float(train_loss),
+            "train_acc": tm["accuracy"],
+            "train_f1": tm["f1_macro"],
+            "val_loss": float(val_loss),
+            "val_acc": vm["accuracy"],
+            "val_f1": vm["f1_macro"],
+        }
+        history.append(metrics)
+        if verbose:
+            print(
+                f"Epoch {epoch}/{cfg.epochs}: "
+                f"train_loss={metrics['train_loss']:.4f} "
+                f"train_acc={metrics['train_acc']:.4f} "
+                f"train_f1={metrics['train_f1']:.4f} "
+                f"val_loss={metrics['val_loss']:.4f} "
+                f"val_acc={metrics['val_acc']:.4f} "
+                f"val_f1={metrics['val_f1']:.4f}"
+            )
+        logger.log_metrics(metrics, epoch)
+        logger.log_learning_rate(lr, epoch)
+
+        if hist_every and epoch % hist_every == 0:
+            bs = min(cfg.batch_size, train_x.shape[0])
+            grads = _grad_snapshot(harness, state, train_x[:bs], train_y[:bs],
+                                   class_weights)
+            logger.log_parameters(state.params, epoch)
+            logger.log_gradients(grads, epoch)
+
+        is_best = metrics["val_f1"] > best_f1
+        if is_best:
+            best_f1 = metrics["val_f1"]
+            if verbose:
+                print(f"  → Best model (F1: {best_f1:.4f})")
+        if is_best or save_last_every_epoch:
+            val_summary = {
+                "loss": metrics["val_loss"],
+                "accuracy": metrics["val_acc"],
+                "f1_macro": metrics["val_f1"],
+                "f1_weighted": vm["f1_weighted"],
+            }
+            logger.save_checkpoint(state, epoch, val_summary, is_best)
+
+        sched.step(metrics["val_f1"])
+
+    # Final evaluation + report (reference: train_latent_vit.py:358-382).
+    val_loss, val_cm = harness.eval_epoch(state, val_x, val_y, class_weights)
+    vm = metrics_from_confusion(np.asarray(val_cm))
+    names = [n.capitalize() for n in EMOTION_NAMES]
+    if verbose:
+        print("\nClassification Report:")
+        print(classification_report(np.asarray(val_cm), names))
+    logger.log_confusion_matrix(None, None, names, cfg.epochs,
+                                cm=np.asarray(val_cm))
+    final_metrics = {
+        "accuracy": vm["accuracy"],
+        "f1_macro": vm["f1_macro"],
+        "f1_weighted": vm["f1_weighted"],
+        "best_f1_macro": best_f1,
+    }
+    return {
+        "state": state,
+        "best_f1": best_f1,
+        "final_metrics": final_metrics,
+        "final_confusion": np.asarray(val_cm),
+        "history": history,
+    }

@@ -1,0 +1,275 @@
+"""Training-harness tests: loss parity vs torch, metrics parity vs sklearn,
+epoch mechanics, schedulers, checkpoint roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fer_vit_tpu.models import LatentViT
+from fer_vit_tpu.train.harness import Harness, TrainConfig
+from fer_vit_tpu.train.losses import cross_entropy
+from fer_vit_tpu.train.schedulers import make_scheduler
+from fer_vit_tpu.utils.metrics import (
+    classification_report,
+    confusion_update,
+    metrics_from_confusion,
+)
+
+
+class TestCrossEntropyTorchParity:
+    """Our CE must equal torch's CrossEntropyLoss bit-for-bit in semantics
+    (weighted mean normalization + label smoothing interaction)."""
+
+    @pytest.mark.parametrize("smoothing", [0.0, 0.1])
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_matches_torch(self, smoothing, weighted):
+        import torch
+
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(16, 7)).astype(np.float32)
+        labels = rng.integers(0, 7, size=16)
+        weights = rng.uniform(0.5, 2.0, size=7).astype(np.float32) if weighted else None
+
+        crit = torch.nn.CrossEntropyLoss(
+            weight=torch.tensor(weights) if weighted else None,
+            label_smoothing=smoothing,
+        )
+        expected = crit(torch.tensor(logits), torch.tensor(labels)).item()
+
+        got = float(
+            cross_entropy(
+                jnp.asarray(logits),
+                jnp.asarray(labels),
+                jnp.asarray(weights) if weighted else None,
+                smoothing,
+            )
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+class TestMetricsSklearnParity:
+    def test_matches_sklearn(self):
+        from sklearn.metrics import accuracy_score, f1_score
+
+        rng = np.random.default_rng(1)
+        y_true = rng.integers(0, 7, size=500)
+        y_pred = rng.integers(0, 7, size=500)
+
+        cm = np.asarray(
+            confusion_update(
+                jnp.zeros((7, 7)), jnp.asarray(y_pred), jnp.asarray(y_true),
+                jnp.ones(500),
+            )
+        )
+        m = metrics_from_confusion(cm)
+        np.testing.assert_allclose(m["accuracy"], accuracy_score(y_true, y_pred))
+        np.testing.assert_allclose(
+            m["f1_macro"], f1_score(y_true, y_pred, average="macro"), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            m["f1_weighted"], f1_score(y_true, y_pred, average="weighted"),
+            rtol=1e-9,
+        )
+
+    def test_report_runs(self):
+        cm = np.eye(7) * 10
+        rep = classification_report(cm, [f"c{i}" for i in range(7)])
+        assert "accuracy" in rep
+
+
+def _toy_problem(n=96):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, 18, 512)).astype(np.float32)
+    y = x[:, 0, :7].argmax(axis=1).astype(np.int32)
+    return x, y
+
+
+def _harness(**cfg_kw):
+    model = LatentViT(depth=1, embed_dim=64, heads=2, mlp_dim=128)
+    cfg = TrainConfig(epochs=3, batch_size=32, lr=1e-3, **cfg_kw)
+    h = Harness(model=model, cfg=cfg)
+    state = h.init_state(jax.random.key(0), jnp.zeros((1, 18, 512)))
+    return h, state
+
+
+class TestHarness:
+    def test_loss_decreases(self):
+        x, y = _toy_problem()
+        h, state = _harness(mixup=0.0)
+        tx, ty = jnp.asarray(x), jnp.asarray(y)
+        losses = []
+        for e in range(4):
+            state, loss, _ = h.train_epoch(
+                state, jax.random.key(e), tx, ty, jnp.float32(1e-3), None
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_partial_batch_counts_every_sample_once(self):
+        x, y = _toy_problem(n=70)  # 70/32 → 3 padded batches
+        h, state = _harness()
+        vl, cm = h.eval_epoch(state, jnp.asarray(x), jnp.asarray(y), None)
+        assert float(np.asarray(cm).sum()) == 70
+
+    def test_mixup_and_augment_path(self):
+        from fer_vit_tpu.data.latent_augment import get_latent_train_transforms
+
+        x, y = _toy_problem()
+        h, state = _harness(
+            mixup=1.0, augment=get_latent_train_transforms(0.1, (0.9, 1.1), 0.1)
+        )
+        state, loss, cm = h.train_epoch(
+            state, jax.random.key(0), jnp.asarray(x), jnp.asarray(y),
+            jnp.float32(1e-3), None,
+        )
+        assert np.isfinite(float(loss))
+        assert float(np.asarray(cm).sum()) == x.shape[0]
+
+    def test_determinism_same_seed(self):
+        x, y = _toy_problem()
+        outs = []
+        for _ in range(2):
+            h, state = _harness()
+            state, loss, cm = h.train_epoch(
+                state, jax.random.key(7), jnp.asarray(x), jnp.asarray(y),
+                jnp.float32(1e-3), None,
+            )
+            outs.append((float(loss), np.asarray(cm)))
+        assert outs[0][0] == outs[1][0]
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+    def test_grad_clip_config(self):
+        x, y = _toy_problem()
+        h, state = _harness(grad_clip=1.0)
+        state, loss, _ = h.train_epoch(
+            state, jax.random.key(0), jnp.asarray(x), jnp.asarray(y),
+            jnp.float32(1e-3), None,
+        )
+        assert np.isfinite(float(loss))
+
+    def test_lr_mult_freezes(self):
+        """A 0.0 lr multiplier must keep those params bit-identical."""
+        x, y = _toy_problem()
+        model = LatentViT(depth=1, embed_dim=64, heads=2, mlp_dim=128)
+        cfg = TrainConfig(epochs=1, batch_size=32, lr=1e-3, mixup=0.0)
+        h = Harness(model=model, cfg=cfg)
+        state = h.init_state(jax.random.key(0), jnp.zeros((1, 18, 512)))
+        mult = jax.tree_util.tree_map(lambda _: 1.0, state.params)
+        mult["input_proj"] = jax.tree_util.tree_map(
+            lambda _: 0.0, mult["input_proj"]
+        )
+        h.lr_mult = mult
+        before = np.asarray(state.params["input_proj"]["kernel"])
+        state, _, _ = h.train_epoch(
+            state, jax.random.key(0), jnp.asarray(x), jnp.asarray(y),
+            jnp.float32(1e-3), None,
+        )
+        np.testing.assert_array_equal(
+            before, np.asarray(state.params["input_proj"]["kernel"])
+        )
+        # and something else did move
+        assert not np.allclose(
+            np.asarray(state.params["head"]["kernel"]),
+            np.asarray(h.init_state(jax.random.key(0),
+                                    jnp.zeros((1, 18, 512))).params["head"]["kernel"]),
+        )
+
+
+class TestSchedulers:
+    def test_cosine_matches_torch_closed_form(self):
+        s = make_scheduler("cosine", 1e-3, epochs=10)
+        assert s.epoch_lr(1) == pytest.approx(1e-3)
+        assert s.epoch_lr(11) == pytest.approx(0.0, abs=1e-12)
+        assert s.epoch_lr(6) == pytest.approx(1e-3 * 0.5 * (1 + np.cos(np.pi / 2)))
+
+    def test_plateau_halves_after_patience(self):
+        s = make_scheduler("plateau", 1e-3, epochs=100)
+        s.step(0.5)  # best
+        for _ in range(5):
+            s.step(0.4)
+        assert s.epoch_lr(7) == pytest.approx(1e-3)  # patience not yet exceeded
+        s.step(0.4)  # 6th bad epoch > patience 5
+        assert s.epoch_lr(8) == pytest.approx(5e-4)
+
+    def test_warmup_cosine(self):
+        s = make_scheduler("warmup_cosine", 1e-3, epochs=100)
+        assert s.warmup == 10
+        assert s.epoch_lr(1) == pytest.approx(1e-4)
+        assert s.epoch_lr(10) == pytest.approx(1e-3)
+        assert s.epoch_lr(100) < 1e-4
+
+
+class TestCheckpointRoundtrip:
+    def test_save_and_load(self, tmp_path):
+        from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
+
+        h, state = _harness()
+        logger = ExperimentLogger("test_exp", base_dir=str(tmp_path))
+        logger.log_config({"model": {"depth": 1}})
+        logger.save_checkpoint(state, epoch=3, metrics={"f1_macro": 0.5},
+                               is_best=True)
+        import os
+
+        ckpt_dir = os.path.join(logger.run_dir, "checkpoints")
+        assert os.path.exists(os.path.join(ckpt_dir, "last_model.pt"))
+        assert os.path.exists(os.path.join(ckpt_dir, "best_model.pt"))
+
+        template = h.init_state(jax.random.key(1), jnp.zeros((1, 18, 512)))
+        loaded = ExperimentLogger.load_checkpoint(
+            os.path.join(ckpt_dir, "best_model.pt"), state_template=template
+        )
+        assert loaded["epoch"] == 3
+        assert loaded["metrics"]["f1_macro"] == 0.5
+        np.testing.assert_array_equal(
+            np.asarray(loaded["state"].params["head"]["kernel"]),
+            np.asarray(state.params["head"]["kernel"]),
+        )
+        logger.close()
+
+
+class TestLatentStore:
+    def test_pt_dir_interop_and_pack(self, tmp_path):
+        import torch
+
+        from fer_vit_tpu.data.latent_store import LatentStore
+
+        d = tmp_path / "latents"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(10):
+            torch.save(
+                {"latent": torch.tensor(rng.normal(size=(18, 512)).astype(np.float32)),
+                 "label": int(i % 7)},
+                str(d / f"sample_{i:03d}.pt"),
+            )
+        store = LatentStore.load(str(d))
+        assert store.latents.shape == (10, 18, 512)
+        assert store.labels.tolist() == [i % 7 for i in range(10)]
+        # pack cache written; second load goes through the npz fast path
+        store2 = LatentStore.load(str(d))
+        np.testing.assert_array_equal(store.latents, store2.latents)
+
+    def test_balanced_subset(self):
+        from fer_vit_tpu.data.latent_store import LatentStore
+
+        labels = np.repeat(np.arange(7), 20).astype(np.int32)
+        store = LatentStore(np.zeros((140, 18, 512), np.float32), labels)
+        idx = store.balanced_subset_indices(0.5, seed=42)
+        sub = store.subset(idx)
+        counts = sub.get_class_counts()
+        assert all(v == 10 for v in counts.values())
+        # reproducible
+        idx2 = store.balanced_subset_indices(0.5, seed=42)
+        np.testing.assert_array_equal(idx, idx2)
+
+    def test_class_weights(self):
+        from fer_vit_tpu.data.latent_store import LatentStore
+
+        labels = np.asarray([0] * 70 + [1] * 30 + [2] * 10 + [3, 4, 5, 6] * 5,
+                            dtype=np.int32)
+        store = LatentStore(np.zeros((len(labels), 18, 512), np.float32), labels)
+        w = store.class_weights()
+        total = len(labels)
+        np.testing.assert_allclose(w[0], total / (7 * 70))
+        np.testing.assert_allclose(w[2], total / (7 * 10))
