@@ -7,7 +7,10 @@ This must be set before JAX initializes its backends.
 
 import os
 
+# NOTE: in this environment the axon TPU plugin ignores JAX_PLATFORMS;
+# JAX_PLATFORM_NAME is what actually forces the CPU backend.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
