@@ -1,66 +1,85 @@
 """Headline benchmark: 256px face images/sec/chip through pSp → LatentViT.
 
-Protocol mirrors the reference latency harness (reference:
-scripts/measure_full_pipeline.py:17-45 — 20 warmup + 100 timed runs), with
-``block_until_ready`` in place of CUDA events. The end-to-end path is the
-north-star metric (BASELINE.md: ≥5,000 images/sec/chip on v5e); until the
-pSp encoder port lands the script falls back to the LatentViT-classification
-stage alone and says so in the metric name.
+Protocol notes (this environment's axon TPU tunnel):
+* ``block_until_ready`` does NOT reliably block through the tunnel and bulk
+  D2H is very slow, so eager-loop timing lies. The benchmark instead runs
+  N pipeline iterations INSIDE one jitted ``lax.scan`` and fetches a single
+  scalar — calibrated against a peak matmul (142 TFLOP/s measured on an
+  8192³ bf16 matmul, ~72% of v5e peak, sane).
+* First compile of the 267M-param encoder through remote-compile takes
+  ~15-20 min; a persistent compilation cache (/root/.jax_cache) amortizes
+  this across runs.
+
+Mirrors the reference latency harness semantics (reference:
+scripts/measure_full_pipeline.py:17-45) with warmup + timed phases.
 
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is value / 5000 img/s/chip — the BASELINE.md rebuild target.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_TARGET_IPS = 5000.0  # BASELINE.md rebuild target, images/sec/chip
-WARMUP = 20
-TIMED = 100
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 
-def _throughput(fn, args, items_per_call: int,
-                warmup: int = WARMUP, timed: int = TIMED) -> float:
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(timed):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return items_per_call * timed / dt
-
-
-def bench_end_to_end(batch: int = 512) -> float:
-    """256px images → pSp encode (w+ 18×512) → LatentViT-d2 logits."""
-    from fer_vit_tpu.encoders.psp import PSpEncoder  # raises if not yet built
-    from fer_vit_tpu.models import LatentViT
-
-    encoder = PSpEncoder()
-    images = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, 256, 256, 3)),
-        jnp.float32,
-    )
-    enc_vars = encoder.init(jax.random.key(0), images[:1])
-    clf = LatentViT(depth=2)
-    clf_vars = clf.init(jax.random.key(1), jnp.zeros((1, 18, 512)))
+def _time_scan(pipeline_step, args, n_iters: int) -> float:
+    """Build scan(pipeline_step) inside jit, warm it, return secs/iter."""
 
     @jax.jit
-    def pipeline(enc_vars, clf_vars, images):
-        w_plus = encoder.apply(enc_vars, images)
-        return clf.apply(clf_vars, w_plus)
+    def run(*args):
+        def body(carry, _):
+            return pipeline_step(carry, *args), ()
 
-    return _throughput(pipeline, (enc_vars, clf_vars, images), batch)
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iters)
+        return carry
+
+    _ = float(run(*args))  # compile + one full execution
+    t0 = time.perf_counter()
+    _ = float(run(*args))
+    return (time.perf_counter() - t0) / n_iters
 
 
-def bench_latent_vit(batch: int = 4096) -> float:
+def bench_end_to_end(batch: int = BATCH, n_iters: int = ITERS) -> float:
+    """Raw 256px images → preprocess → pSp encode (w+) → LatentViT-d2 logits."""
+    from fer_vit_tpu.encoders.psp import PSpEncoder, preprocess_images
+    from fer_vit_tpu.models import LatentViT
+
+    enc = PSpEncoder(dtype=jnp.bfloat16)
+    enc_vars = enc.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
+    clf = LatentViT(depth=2, dtype=jnp.bfloat16)
+    clf_vars = clf.init(jax.random.key(1), jnp.zeros((1, 18, 512)))
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, size=(batch, 256, 256, 3)),
+        jnp.float32,
+    )
+
+    def step(carry, enc_vars, clf_vars, images):
+        # carry-dependency keeps XLA from collapsing iterations
+        x = preprocess_images(images + carry)
+        w = enc.apply(enc_vars, x)
+        logits = clf.apply(clf_vars, w)
+        return jnp.sum(logits) * 0.0
+
+    secs = _time_scan(step, (enc_vars, clf_vars, images), n_iters)
+    return batch / secs
+
+
+def bench_latent_vit(batch: int = 4096, n_iters: int = 50) -> float:
     from fer_vit_tpu.models import LatentViT
 
     model = LatentViT(depth=2, dtype=jnp.bfloat16)
@@ -68,15 +87,25 @@ def bench_latent_vit(batch: int = 4096) -> float:
         np.random.default_rng(0).normal(size=(batch, 18, 512)), jnp.float32
     )
     variables = model.init(jax.random.key(0), latents[:1])
-    fn = jax.jit(model.apply)
-    return _throughput(fn, (variables, latents), batch)
+
+    def step(carry, variables, latents):
+        logits = model.apply(variables, latents + carry)
+        return jnp.sum(logits) * 0.0
+
+    secs = _time_scan(step, (variables, latents), n_iters)
+    return batch / secs
 
 
 def main() -> None:
     try:
         value = bench_end_to_end()
         metric = "psp_to_latent_vit_images_per_sec_per_chip"
-    except Exception:
+    except Exception as e:  # encoder path must never hide real failures
+        import traceback
+
+        traceback.print_exc()
+        print(f"end-to-end bench failed ({type(e).__name__}); "
+              "falling back to classifier-only", flush=True)
         value = bench_latent_vit()
         metric = "latent_vit_d2_classifications_per_sec_per_chip"
     print(json.dumps({

@@ -1,0 +1,155 @@
+"""IR-SE ResNet backbone (ArcFace-style) in JAX/Flax, NHWC.
+
+This is the feature trunk of both the pSp GradualStyleEncoder and the
+ArcFace identity extractor the reference uses frozen (reference:
+models_fer_vit/encoder_wrapper.py loads the third-party pSp whose encoder is
+`GradualStyleEncoder` over an IR-SE50; afs/losses.py:56-70 uses the same
+IR-SE50 for identity loss). The third-party architecture (InsightFace
+"bottleneck_IR_SE") is:
+
+    input:  Conv3x3(3→64, s1) → BN → PReLU(per-channel)
+    stage plan (ir_se50): depths (3,4,14,3), channels 64→64→128→256→512,
+        stride 2 at each stage's first unit
+    unit:   shortcut = identity/maxpool-or-1x1conv+BN;
+            res = BN → Conv3x3 → PReLU → Conv3x3(stride) → BN → SE(r=16)
+    out:    res + shortcut
+
+TPU-native notes: everything NHWC; BatchNorm runs with frozen running stats
+(the encoder is always used frozen/eval in this framework, matching the
+reference which never trains it); SE's global pool + two 1×1 convs fuse into
+a couple of VPU/MXU ops under XLA. bf16 compute via the dtype arg.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# (in_channels, out_channels, num_units) per stage; stride 2 on first unit.
+IR_SE_50_PLAN: Tuple[Tuple[int, int, int], ...] = (
+    (64, 64, 3),
+    (64, 128, 4),
+    (128, 256, 14),
+    (256, 512, 3),
+)
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (torch nn.PReLU(num_parameters=C), init 0.25)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param(
+            "alpha",
+            lambda k, s, d: jnp.full(s, 0.25, d),
+            (self.channels,),
+            self.param_dtype,
+        ).astype(self.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class SEModule(nn.Module):
+    """Squeeze-and-Excitation: GAP → 1×1 conv (C→C/r) → ReLU → 1×1 conv → σ."""
+
+    channels: int
+    reduction: int = 16
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        squeezed = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,C)
+        h = nn.Conv(self.channels // self.reduction, (1, 1), use_bias=False,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="fc1")(squeezed)
+        h = nn.relu(h)
+        h = nn.Conv(self.channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="fc2")(h)
+        return x * jax.nn.sigmoid(h)
+
+
+class BottleneckIRSE(nn.Module):
+    in_channels: int
+    out_channels: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        bn_kw = dict(use_running_average=True, epsilon=1e-5, momentum=0.9,
+                     dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.in_channels == self.out_channels:
+            if self.stride == 1:
+                shortcut = x
+            else:
+                # torch MaxPool2d(1, stride): pure subsampling
+                shortcut = x[:, :: self.stride, :: self.stride, :]
+        else:
+            shortcut = nn.Conv(self.out_channels, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="shortcut_conv")(x)
+            shortcut = nn.BatchNorm(name="shortcut_bn", **bn_kw)(shortcut)
+
+        res = nn.BatchNorm(name="bn1", **bn_kw)(x)
+        res = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="conv1")(res)
+        res = PReLU(self.out_channels, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="prelu")(res)
+        res = nn.Conv(self.out_channels, (3, 3),
+                      strides=(self.stride, self.stride), padding=1,
+                      use_bias=False, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="conv2")(res)
+        res = nn.BatchNorm(name="bn2", **bn_kw)(res)
+        res = SEModule(self.out_channels, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="se")(res)
+        return res + shortcut
+
+
+class IRSEBackbone(nn.Module):
+    """IR-SE trunk returning the three pyramid features the pSp encoder taps:
+    c1 (64×64×128, after unit 6), c2 (32×32×256, after unit 20), c3
+    (16×16×512, final) for a 256×256 input — unit indices match the
+    third-party GradualStyleEncoder's body-iteration taps."""
+
+    plan: Sequence[Tuple[int, int, int]] = IR_SE_50_PLAN
+    taps: Tuple[int, int] = (6, 20)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        bn_kw = dict(use_running_average=True, epsilon=1e-5, momentum=0.9,
+                     dtype=self.dtype, param_dtype=self.param_dtype)
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="input_conv")(x)
+        x = nn.BatchNorm(name="input_bn", **bn_kw)(x)
+        x = PReLU(64, dtype=self.dtype, param_dtype=self.param_dtype,
+                  name="input_prelu")(x)
+
+        feats = {}
+        unit_idx = 0
+        for in_c, out_c, n_units in self.plan:
+            for u in range(n_units):
+                stride = 2 if u == 0 else 1
+                cin = in_c if u == 0 else out_c
+                x = BottleneckIRSE(cin, out_c, stride, dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name=f"body_{unit_idx}")(x)
+                if unit_idx in self.taps:
+                    feats[unit_idx] = x
+                unit_idx += 1
+        c1, c2 = feats[self.taps[0]], feats[self.taps[1]]
+        return c1, c2, x

@@ -1,0 +1,260 @@
+"""pSp GradualStyleEncoder in JAX — the perf-critical component.
+
+Maps a 256×256 face image to a StyleGAN2 ``w+`` code (18, 512). This is the
+dominant FLOPs of the north-star pipeline (SURVEY.md §2.1, encoder row):
+~15 GFLOPs/image through the IR-SE50 trunk + 18 style heads.
+
+Architecture (third-party pixel2style2pixel ``GradualStyleEncoder``, loaded
+by reference models_fer_vit/encoder_wrapper.py:84-89):
+
+* IR-SE50 trunk taps a 3-level feature pyramid c1/c2/c3
+  (:mod:`fer_vit_tpu.encoders.irse`).
+* FPN top-down: p2 = up(c3) + 1×1(c2); p1 = up(p2) + 1×1(c1).
+* 18 ``GradualStyleBlock`` heads — styles 0-2 read c3, 3-6 read p2,
+  7-17 read p1; each head is a stack of stride-2 3×3 convs + LeakyReLU down
+  to 1×1 then an EqualLinear to 512.
+* ``w+ = styles + latent_avg`` (the reference adds the generator's average
+  latent, encoder_wrapper.py:198-202).
+
+TPU-native decisions:
+
+* NHWC everywhere; bf16 compute / f32 params via dtype args.
+* The 11 p1-heads (and 4 p2 / 3 c3 heads) are **vmapped over the head axis**
+  instead of 18 sequential module calls: one batched conv stack per pyramid
+  level keeps the MXU busy with one big GEMM instead of 18 slivers.
+* Bilinear upsampling via ``jax.image.resize`` (align_corners=True to match
+  torch ``F.interpolate(..., align_corners=True)`` used by pSp).
+* Preprocessing (resize to 256 + mean/std 0.5 normalize, reference
+  encoder_wrapper.py:136-145) is a jitted device-side function — no host
+  torchvision transforms.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from fer_vit_tpu.encoders.irse import IRSEBackbone, IR_SE_50_PLAN
+
+
+class EqualLinear(nn.Module):
+    """StyleGAN2 equalized linear: out = x @ (W·scale)ᵀ·lr_mul + b·lr_mul,
+    scale = lr_mul/√fan_in. Kept numerically identical to the third-party op
+    so converted pSp weights reproduce the reference's latents exactly."""
+
+    features: int
+    lr_mul: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        # torch init: weight ~ N(0,1)/lr_mul, bias zeros
+        kernel = self.param(
+            "kernel",
+            lambda k, s, d: jax.random.normal(k, s, d) / self.lr_mul,
+            (in_dim, self.features),
+            self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype)
+        scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
+        y = x @ (kernel.astype(self.dtype) * scale)
+        return y + bias.astype(self.dtype) * self.lr_mul
+
+
+class GradualStyleBlock(nn.Module):
+    """log2(spatial) stride-2 convs + LeakyReLU down to 1×1, then EqualLinear."""
+
+    out_dim: int
+    spatial: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        num_pools = int(math.log2(self.spatial))
+        for i in range(num_pools):
+            x = nn.Conv(self.out_dim, (3, 3), strides=(2, 2), padding=1,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"conv_{i}")(x)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        x = x.reshape(x.shape[0], -1)  # (B, out_dim) after 1×1 spatial
+        return EqualLinear(self.out_dim, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="linear")(x)
+
+
+class _VmappedHeads(nn.Module):
+    """n_heads GradualStyleBlocks over the same input, vmapped over params:
+    one conv with n_heads× batch instead of n_heads sequential convs."""
+
+    n_heads: int
+    out_dim: int
+    spatial: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        block = nn.vmap(
+            GradualStyleBlock,
+            in_axes=None, out_axes=1,  # share input; stack outputs on axis 1
+            axis_size=self.n_heads,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )
+        return block(self.out_dim, self.spatial, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="heads")(x)
+
+
+def _upsample_add(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinear-upsample x to y's spatial size and add. pSp uses torch
+    F.interpolate(bilinear, align_corners=True); jax.image.resize is
+    half-pixel-centered (align_corners=False), so use an exact gather-based
+    align-corners interpolation instead."""
+    h, w = y.shape[1], y.shape[2]
+    return _bilinear_align_corners(x, (h, w)) + y
+
+
+def _bilinear_align_corners(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize with align_corners=True (torch semantics)."""
+    b, in_h, in_w, c = x.shape
+    out_h, out_w = size
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+
+    def grid(in_s, out_s):
+        if out_s == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(out_s, dtype=jnp.float32) * (in_s - 1) / (out_s - 1)
+
+    ys, xs = grid(in_h, out_h), grid(in_w, out_w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, in_h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, in_w - 1)
+    y1 = jnp.minimum(y0 + 1, in_h - 1)
+    x1 = jnp.minimum(x0 + 1, in_w - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None].astype(x.dtype)
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None].astype(x.dtype)
+
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+class PSpEncoder(nn.Module):
+    """GradualStyleEncoder: (B, 256, 256, 3) preprocessed image → (B, 18, 512).
+
+    ``latent_avg`` (the StyleGAN2 mean latent added by the reference wrapper,
+    encoder_wrapper.py:198-202) is a variable in the ``constants`` collection
+    (zeros unless loaded from a converted checkpoint).
+    """
+
+    n_styles: int = 18
+    coarse_ind: int = 3
+    middle_ind: int = 7
+    style_dim: int = 512
+    plan: tuple = IR_SE_50_PLAN
+    input_size: int = 256  # head conv depths derive from this (c3 = size/16)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def taps(self) -> Tuple[int, int]:
+        # c1 after the last unit of stage 2, c2 after the last of stage 3
+        # (third-party body-iteration indices 6 and 20 for ir_se50).
+        t1 = self.plan[0][2] + self.plan[1][2] - 1
+        return (t1, t1 + self.plan[2][2])
+
+    @nn.compact
+    def __call__(self, x: jax.Array, add_latent_avg: bool = True) -> jax.Array:
+        c1, c2, c3 = IRSEBackbone(
+            plan=self.plan, taps=self.taps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="backbone",
+        )(x)
+
+        lat1 = nn.Conv(512, (1, 1), dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="latlayer1")(c2)
+        p2 = _upsample_add(c3, lat1)
+        lat2 = nn.Conv(512, (1, 1), dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="latlayer2")(c1)
+        p1 = _upsample_add(p2, lat2)
+
+        s16 = self.input_size // 16
+        s_coarse = _VmappedHeads(
+            self.coarse_ind, self.style_dim, spatial=s16, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="coarse",
+        )(c3)  # (B, 3, 512)
+        s_middle = _VmappedHeads(
+            self.middle_ind - self.coarse_ind, self.style_dim, spatial=2 * s16,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="middle",
+        )(p2)  # (B, 4, 512)
+        s_fine = _VmappedHeads(
+            self.n_styles - self.middle_ind, self.style_dim, spatial=4 * s16,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="fine",
+        )(p1)  # (B, 11, 512)
+
+        w = jnp.concatenate([s_coarse, s_middle, s_fine], axis=1)
+
+        latent_avg = self.variable(
+            "constants", "latent_avg",
+            lambda: jnp.zeros((self.n_styles, self.style_dim),
+                              self.param_dtype),
+        )
+        if add_latent_avg:
+            w = w + latent_avg.value[None].astype(w.dtype)
+        return w.astype(jnp.float32)
+
+
+def preprocess_images(images: jax.Array, size: int = 256) -> jax.Array:
+    """uint8/float [0,255] or [0,1] (B,H,W,3) → resized, (x−0.5)/0.5
+    normalized f32 — the reference transform (encoder_wrapper.py:136-145)
+    as a jittable device-side op."""
+    x = images.astype(jnp.float32)
+    x = jnp.where(jnp.max(jnp.abs(x)) > 2.0, x / 255.0, x)  # tolerate 0-255
+    if x.shape[1] != size or x.shape[2] != size:
+        x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]),
+                             method=jax.image.ResizeMethod.LINEAR)
+    return (x - 0.5) / 0.5
+
+
+class EncoderWrapper:
+    """Convenience inference wrapper mirroring the reference's
+    ``EncoderWrapper`` API (encoder_wrapper.py:29-220): holds variables,
+    jits preprocess→encode, exposes encode_image/encode_batch."""
+
+    def __init__(self, variables=None, seed: int = 0,
+                 dtype=jnp.bfloat16, encoder: Optional[PSpEncoder] = None):
+        self.encoder = encoder or PSpEncoder(dtype=dtype)
+        if variables is None:
+            variables = self.encoder.init(
+                jax.random.key(seed), jnp.zeros((1, 256, 256, 3))
+            )
+        self.variables = variables
+
+        @jax.jit
+        def _encode(variables, images):
+            x = preprocess_images(images)
+            return self.encoder.apply(variables, x)
+
+        self._encode = _encode
+
+    @classmethod
+    def from_npz(cls, path: str, dtype=jnp.bfloat16) -> "EncoderWrapper":
+        """Load converted pSp weights (see encoders/convert_psp.py)."""
+        from fer_vit_tpu.encoders.convert_psp import load_npz_variables
+
+        return cls(variables=load_npz_variables(path), dtype=dtype)
+
+    def encode_batch(self, images) -> jax.Array:
+        """(B, H, W, 3) images → (B, 18, 512) w+ latents."""
+        return self._encode(self.variables, jnp.asarray(images))
+
+    def encode_image(self, image) -> jax.Array:
+        """(H, W, 3) single image → (18, 512)."""
+        return self.encode_batch(jnp.asarray(image)[None])[0]

@@ -108,6 +108,8 @@ class Harness:
     class_weights: Optional[np.ndarray] = None
     lr_mult: Any = None  # pytree matching params, or None
     mesh: Any = None  # optional jax.sharding.Mesh for DP constraints
+    augment_fn: Any = None  # (key, xb) -> xb; overrides cfg.augment
+    eval_transform: Any = None  # (xb) -> xb applied before eval forwards
     has_batch_stats: bool = dataclasses.field(default=False, init=False)
 
     # -- state --------------------------------------------------------------
@@ -169,7 +171,9 @@ class Harness:
         k_aug, k_mix, k_perm, k_drop, k_drop2 = jax.random.split(key, 5)
 
         xb = self._constrain_batch(xb)
-        if cfg.augment is not None and cfg.augment.enabled:
+        if self.augment_fn is not None:
+            xb = self.augment_fn(k_aug, xb)
+        elif cfg.augment is not None and cfg.augment.enabled:
             xb = latent_augment(k_aug, xb, cfg.augment)
 
         b = xb.shape[0]
@@ -193,11 +197,11 @@ class Harness:
                                    cfg.label_smoothing, mask)
             loss_b = cross_entropy(logits, yb_perm, class_weights,
                                    cfg.label_smoothing, mask_perm)
-            return lam * loss_a + (1.0 - lam) * loss_b, new_bs
+            return lam * loss_a + (1.0 - lam) * loss_b, (new_bs, logits)
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (new_bs, logits_mixed)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         if self.lr_mult is None:
             updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
@@ -207,10 +211,17 @@ class Harness:
             )
         new_params = optax.apply_updates(state.params, updates)
 
-        # Second clean forward in train mode for train metrics
-        # (reference: train/train_latent_vit.py:138-141).
-        logits_clean, new_bs2 = self._apply_train(new_params, new_bs, xb, k_drop2)
-        preds = jnp.argmax(logits_clean, axis=-1)
+        if cfg.mixup > 0:
+            # Second clean forward in train mode for train metrics
+            # (reference: train/train_latent_vit.py:138-141).
+            logits_clean, new_bs2 = self._apply_train(new_params, new_bs, xb,
+                                                      k_drop2)
+            preds = jnp.argmax(logits_clean, axis=-1)
+        else:
+            # Without mixup the reference records metrics from the training
+            # forward itself (reference: train/train_image_vit.py:128-137).
+            preds = jnp.argmax(logits_mixed, axis=-1)
+            new_bs2 = new_bs
 
         new_state = state.replace(params=new_params, batch_stats=new_bs2,
                                   opt_state=new_opt)
@@ -226,6 +237,8 @@ class Harness:
 
     def eval_step(self, state, xb, yb, mask, class_weights):
         xb = self._constrain_batch(xb)
+        if self.eval_transform is not None:
+            xb = self.eval_transform(xb)
         logits = self._apply_eval(state.params, state.batch_stats, xb)
         loss = cross_entropy(logits, yb, class_weights,
                              self.cfg.label_smoothing, mask)
@@ -306,8 +319,10 @@ class Harness:
         bs = batch_size or self.cfg.batch_size
         outs = []
         for i in range(0, data_x.shape[0], bs):
-            logits = self._apply_eval(state.params, state.batch_stats,
-                                      jnp.asarray(data_x[i : i + bs]))
+            xb = jnp.asarray(data_x[i : i + bs])
+            if self.eval_transform is not None:
+                xb = self.eval_transform(xb)
+            logits = self._apply_eval(state.params, state.batch_stats, xb)
             outs.append(np.asarray(logits))
         logits = np.concatenate(outs) if outs else np.zeros((0, self.cfg.num_classes))
         probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))

@@ -33,7 +33,8 @@ def _grad_snapshot(harness, state, xb, yb, class_weights):
         variables = {"params": params}
         if harness.has_batch_stats:
             variables["batch_stats"] = state.batch_stats
-        logits = harness.model.apply(variables, xb, deterministic=True)
+        x = xb if harness.eval_transform is None else harness.eval_transform(xb)
+        logits = harness.model.apply(variables, x, deterministic=True)
         return cross_entropy(logits, yb, class_weights,
                              harness.cfg.label_smoothing)
 
