@@ -1,0 +1,238 @@
+"""Evaluate a trained latent-model checkpoint.
+
+Capability parity with the reference evaluator (reference:
+eval/evaluate_model.py): checkpoint-polymorphic loading (model class
+discriminated from the embedded config — ``model_size`` → HybridLatentViT,
+``model_type`` → latent CNN, ``use_lwn/spe/leam`` flags → LatentViTv2, else
+LatentViT; reference :50-114), test metrics, confusion matrices (normalized
++ counts), per-class precision/recall/F1 bars, prediction-confidence
+histograms, and a JSON report (reference :423-436).
+
+CLI parity (reference :330-337): ``--checkpoint_path --latent_test_dir
+--output_dir --batch_size``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fer_vit_tpu import EMOTION_NAMES
+from fer_vit_tpu.data.latent_store import LatentStore
+from fer_vit_tpu.models import (
+    LatentViT,
+    LatentViTv2,
+    create_hybrid_latent_vit,
+    create_latent_cnn,
+)
+from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
+from fer_vit_tpu.utils.metrics import (
+    classification_report,
+    confusion_update,
+    metrics_from_confusion,
+)
+
+
+def model_from_config(model_config: dict):
+    """Rebuild the right model class from a checkpoint's model config
+    (reference discrimination logic, eval/evaluate_model.py:50-114)."""
+    model_config = dict(model_config)
+    model_config.setdefault("num_classes", 7)
+    if "model_size" in model_config:
+        return create_hybrid_latent_vit(
+            latent_dim=model_config.get("latent_dim", 512),
+            seq_len=model_config.get("seq_len", 18),
+            model_size=model_config.get("model_size", "small"),
+            num_classes=model_config["num_classes"],
+            use_adapter=bool(model_config.get("use_adapter")),
+            adapter_dim=model_config.get("adapter_dim") or 64,
+        )
+    if "model_type" in model_config:
+        return create_latent_cnn(
+            model_config["model_type"],
+            latent_dim=model_config.get("latent_dim", 512),
+            seq_len=model_config.get("seq_len", 18),
+            num_classes=model_config["num_classes"],
+            dropout=model_config.get("dropout", 0.3),
+        )
+    common = dict(
+        latent_dim=model_config.get("latent_dim", 512),
+        seq_len=model_config.get("seq_len", 18),
+        embed_dim=model_config.get("embed_dim", 512),
+        depth=model_config.get("depth", 6),
+        heads=model_config.get("heads", 8),
+        mlp_dim=model_config.get("mlp_dim", 2048),
+        num_classes=model_config["num_classes"],
+        dropout=model_config.get("dropout", 0.1),
+    )
+    if any(model_config.get(k) for k in
+           ("use_lwn", "use_spe", "use_leam", "use_lwn_residual")):
+        return LatentViTv2(
+            use_lwn=bool(model_config.get("use_lwn")),
+            use_lwn_residual=bool(model_config.get("use_lwn_residual")),
+            use_spe=bool(model_config.get("use_spe")),
+            use_leam=bool(model_config.get("use_leam")),
+            **common,
+        )
+    return LatentViT(**common)
+
+
+def load_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
+    """→ (model, variables, full_config)."""
+    raw = ExperimentLogger.load_checkpoint(checkpoint_path)
+    config = raw["config"]
+    model_config = config.get("model", config)
+    model = model_from_config(model_config)
+
+    seq_len = model_config.get("seq_len", 18)
+    latent_dim = model_config.get("latent_dim", 512)
+    template_vars = model.init(jax.random.key(0),
+                               jnp.zeros((1, seq_len, latent_dim)))
+    from fer_vit_tpu.train.harness import TrainState, make_optimizer, TrainConfig
+
+    # Rebuild the optimizer pytree with the run's own settings so the
+    # serialized opt_state structure matches (grad_clip/sgd change it).
+    tcfg = config.get("training", {})
+    cfg = TrainConfig(
+        optimizer=tcfg.get("optimizer", "adamw"),
+        weight_decay=tcfg.get("weight_decay", 1e-2),
+        grad_clip=tcfg.get("grad_clip") or 0.0,
+    )
+    template = TrainState(
+        params=template_vars["params"],
+        batch_stats=template_vars.get("batch_stats", {}),
+        opt_state=make_optimizer(cfg).init(template_vars["params"]),
+    )
+    restored = ExperimentLogger.load_checkpoint(checkpoint_path,
+                                                state_template=template)
+    state = restored["state"]
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    print(f"Loaded checkpoint (epoch {restored['epoch']}) from "
+          f"{checkpoint_path}")
+    return model, variables, config
+
+
+def evaluate(model, variables, store: LatentStore, batch_size: int = 32):
+    """→ (predictions, probabilities, confusion_matrix)."""
+    apply = jax.jit(lambda v, x: model.apply(v, x))
+    preds, probs = [], []
+    for i in range(0, len(store), batch_size):
+        logits = apply(variables, jnp.asarray(store.latents[i:i + batch_size]))
+        probs.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
+        preds.append(np.asarray(jnp.argmax(logits, axis=-1)))
+    preds = np.concatenate(preds)
+    probs = np.concatenate(probs)
+    cm = np.asarray(confusion_update(
+        jnp.zeros((7, 7)), jnp.asarray(preds), jnp.asarray(store.labels),
+        jnp.ones(len(store)),
+    ))
+    return preds, probs, cm
+
+
+def _plots(cm, probs, preds, labels, out_dir):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import seaborn as sns
+    except ImportError:
+        return
+    names = [n.capitalize() for n in EMOTION_NAMES]
+
+    # normalized + counts confusion matrices
+    for norm, fname in ((True, "confusion_matrix_normalized.png"),
+                        (False, "confusion_matrix_counts.png")):
+        fig, ax = plt.subplots(figsize=(8, 6))
+        data = cm / np.maximum(cm.sum(1, keepdims=True), 1) if norm else cm
+        sns.heatmap(data, annot=True, fmt=".2f" if norm else ".0f",
+                    cmap="Blues", xticklabels=names, yticklabels=names, ax=ax)
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("Actual")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, fname), dpi=120)
+        plt.close(fig)
+
+    # per-class precision/recall/F1 bars
+    m = metrics_from_confusion(cm)
+    x = np.arange(7)
+    fig, ax = plt.subplots(figsize=(10, 5))
+    for i, key in enumerate(("precision", "recall", "f1")):
+        ax.bar(x + (i - 1) * 0.25, m[key], width=0.25, label=key)
+    ax.set_xticks(x, names)
+    ax.legend()
+    ax.set_title("Per-class metrics")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "class_metrics.png"), dpi=120)
+    plt.close(fig)
+
+    # confidence histograms (correct vs incorrect)
+    conf = probs.max(axis=1)
+    correct = preds == labels
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.hist(conf[correct], bins=30, alpha=0.6, label="correct")
+    ax.hist(conf[~correct], bins=30, alpha=0.6, label="incorrect")
+    ax.set_xlabel("Prediction confidence")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "prediction_confidence.png"), dpi=120)
+    plt.close(fig)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Evaluate trained model")
+    parser.add_argument("--checkpoint_path", required=True)
+    parser.add_argument("--latent_test_dir", required=True)
+    parser.add_argument("--output_dir", default="eval_results")
+    parser.add_argument("--batch_size", type=int, default=32)
+    return parser
+
+
+def main(args) -> dict:
+    os.makedirs(args.output_dir, exist_ok=True)
+    model, variables, config = load_model(args.checkpoint_path)
+    store = LatentStore.load(args.latent_test_dir)
+    preds, probs, cm = evaluate(model, variables, store, args.batch_size)
+
+    m = metrics_from_confusion(cm)
+    names = [n.capitalize() for n in EMOTION_NAMES]
+    print("\nClassification Report:")
+    print(classification_report(cm, names))
+
+    _plots(cm, probs, preds, store.labels, args.output_dir)
+
+    report = {
+        "checkpoint": args.checkpoint_path,
+        "test_dir": args.latent_test_dir,
+        "num_samples": len(store),
+        "accuracy": m["accuracy"],
+        "f1_macro": m["f1_macro"],
+        "f1_weighted": m["f1_weighted"],
+        "per_class": {
+            EMOTION_NAMES[i]: {
+                "precision": float(m["precision"][i]),
+                "recall": float(m["recall"][i]),
+                "f1": float(m["f1"][i]),
+                "support": int(m["support"][i]),
+            }
+            for i in range(7)
+        },
+        "config": config,
+    }
+    report_path = os.path.join(args.output_dir, "evaluation_report.json")
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"\nReport saved to {report_path}")
+    return report
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -280,6 +280,40 @@ def trainable_mask(
     return out
 
 
+def layerwise_lr_mult(
+    params: Dict[str, Any],
+    freeze_transformer: bool = False,
+    freeze_stages: Optional[int] = None,
+) -> tuple:
+    """(lr_mult pytree, wd_mask pytree) for the reference's layer-wise LR
+    groups (reference: train/train_hybrid_latent_vit.py:63-117):
+    input_proj ×10, transformer blocks ×1, adapters ×10, head ×10,
+    pos_embed/CLS ×5 with weight decay 0. Frozen subtrees get mult 0."""
+    frozen = trainable_mask(params, freeze_transformer, freeze_stages)
+
+    def group_mult(name: str) -> float:
+        if name == "input_proj" or name.startswith("adapters_") or \
+                name in ("head", "head_norm"):
+            return 10.0
+        if name in ("pos_embed", "cls_token"):
+            return 5.0
+        return 1.0
+
+    mult = {}
+    wd = {}
+    for name, sub in params.items():
+        m = group_mult(name)
+        mult[name] = jax.tree_util.tree_map(lambda _: m, sub)
+        wd[name] = jax.tree_util.tree_map(
+            lambda _: name not in ("pos_embed", "cls_token"), sub
+        )
+    # apply freezing on top
+    mult = jax.tree_util.tree_map(
+        lambda m, t: m if t else 0.0, mult, frozen
+    )
+    return mult, wd
+
+
 # Recommended fine-tuning strategies (reference: hybrid_latent_vit.py:314-343).
 RECOMMENDED_STRATEGIES = {
     "full_finetune": {

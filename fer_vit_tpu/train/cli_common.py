@@ -74,8 +74,11 @@ def run_latent_training(
     val_store,
     lr_mult=None,
     init_params_patch=None,
+    wd_mask=None,
 ) -> dict:
-    """Common tail of every latent trainer: harness, logging, fit, summary."""
+    """Common tail of every latent trainer: harness, logging, fit, summary.
+    ``model`` may be any object with Flax-style ``init``/``apply`` — e.g.
+    ExpressionAwareViT, whose apply chains the constant decomposer."""
     class_weights = (
         train_store.class_weights(cfg.num_classes)
         if args.use_class_weights else None
@@ -84,7 +87,7 @@ def run_latent_training(
         print(f"Class weights: {class_weights}")
 
     harness = Harness(model=model, cfg=cfg, class_weights=class_weights,
-                      lr_mult=lr_mult)
+                      lr_mult=lr_mult, wd_mask=wd_mask)
     state = harness.init_state(
         jax.random.key(args.seed),
         jnp.zeros((1, train_store.seq_len, train_store.latent_dim)),

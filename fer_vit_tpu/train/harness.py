@@ -71,17 +71,20 @@ class TrainConfig:
     eta_min: float = 0.0  # cosine floor (image trainer uses lr*0.01)
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: TrainConfig,
+                   wd_mask=None) -> optax.GradientTransformation:
     """Optimizer producing the descent direction at lr=1; the step multiplies
     by the per-epoch lr (and per-leaf multipliers). AdamW's weight decay is
-    inside the direction, so it scales with lr exactly as torch couples them."""
+    inside the direction, so it scales with lr exactly as torch couples them.
+    ``wd_mask``: optional bool pytree — False leaves get no weight decay
+    (the reference's pos/CLS group, train_hybrid_latent_vit.py:108-113)."""
     chain = []
     if cfg.grad_clip > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))
     if cfg.optimizer == "adamw":
         chain.append(
             optax.adamw(1.0, b1=0.9, b2=0.999, eps=1e-8,
-                        weight_decay=cfg.weight_decay)
+                        weight_decay=cfg.weight_decay, mask=wd_mask)
         )
     elif cfg.optimizer == "sgd":
         # torch SGD: grad += wd·p, then momentum buffer, then −lr·buf.
@@ -110,6 +113,7 @@ class Harness:
     mesh: Any = None  # optional jax.sharding.Mesh for DP constraints
     augment_fn: Any = None  # (key, xb) -> xb; overrides cfg.augment
     eval_transform: Any = None  # (xb) -> xb applied before eval forwards
+    wd_mask: Any = None  # bool pytree: False = no weight decay on that leaf
     has_batch_stats: bool = dataclasses.field(default=False, init=False)
 
     # -- state --------------------------------------------------------------
@@ -119,7 +123,7 @@ class Harness:
         params = variables["params"]
         self.has_batch_stats = "batch_stats" in variables
         batch_stats = variables.get("batch_stats", {})
-        tx = make_optimizer(self.cfg)
+        tx = make_optimizer(self.cfg, self.wd_mask)
         opt_state = tx.init(params)
         return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=opt_state)
@@ -167,7 +171,7 @@ class Harness:
         class_weights: Optional[jax.Array],
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         cfg = self.cfg
-        tx = make_optimizer(cfg)
+        tx = make_optimizer(cfg, self.wd_mask)
         k_aug, k_mix, k_perm, k_drop, k_drop2 = jax.random.split(key, 5)
 
         xb = self._constrain_batch(xb)

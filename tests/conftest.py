@@ -1,21 +1,19 @@
-"""Test environment: force an 8-device CPU-simulated mesh.
+"""Test environment: single-device CPU backend.
 
-Per SURVEY.md §4, multi-device/collective correctness is tested on a fake
-backend: 8 virtual CPU devices via ``--xla_force_host_platform_device_count``.
-This must be set before JAX initializes its backends.
+NOTE (this environment): the axon TPU plugin ignores ``JAX_PLATFORMS``
+unless explicitly overridden, and ``JAX_PLATFORM_NAME`` is the reliable
+forcing switch. Multi-virtual-device CPU
+(``--xla_force_host_platform_device_count=8``) makes XLA CPU compiles
+~18× slower, so the suite runs single-device; multi-device/mesh coverage
+(SURVEY.md §4's CPU-simulated-mesh strategy) lives in
+``test_multichip.py``, which subprocess-spawns an 8-device interpreter —
+same fake backend, isolated from the rest of the suite.
 """
 
 import os
 
-# NOTE: in this environment the axon TPU plugin ignores JAX_PLATFORMS;
-# JAX_PLATFORM_NAME is what actually forces the CPU backend.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
 
@@ -25,10 +23,3 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
-
-
-@pytest.fixture(scope="session")
-def mesh():
-    from fer_vit_tpu.core import make_mesh
-
-    return make_mesh()
