@@ -1,0 +1,82 @@
+"""Reference-image providers for AFS training.
+
+Capability parity with the reference (reference: afs/image_provider.py):
+
+* :class:`GeneratedImageProvider` (strategy A) — decode the W+ latents with
+  the frozen StyleGAN2 generator (domain-consistent; two extra G passes,
+  reference :57-89); jitted on device.
+* :class:`DiskImageProvider` (strategy B) — load the original images from
+  the paths stored with each latent, with optional root remapping
+  (reference :92-125); host-side decode, device normalize.
+
+Both return (B, 256, 256, 3) NHWC tensors in [−1, 1].
+"""
+
+from __future__ import annotations
+
+import abc
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fer_vit_tpu.encoders.stylegan2 import Generator, face_pool
+
+
+class ImageProvider(abc.ABC):
+    @abc.abstractmethod
+    def get_images(self, w_batch: jax.Array,
+                   img_paths: Optional[List[str]]) -> jax.Array:
+        ...
+
+
+class GeneratedImageProvider(ImageProvider):
+    def __init__(self, generator: Generator, variables: dict,
+                 out_size: int = 256):
+        self.generator = generator
+        self.variables = variables
+
+        @jax.jit
+        def _decode(variables, w):
+            img, _ = generator.apply(variables, [w], input_is_latent=True,
+                                     randomize_noise=False)
+            return face_pool(img, out_size)
+
+        self._decode = _decode
+
+    def get_images(self, w_batch, img_paths=None):
+        return self._decode(self.variables, w_batch)
+
+
+class DiskImageProvider(ImageProvider):
+    def __init__(self, img_root: Optional[str] = None, size: int = 256):
+        self.img_root = img_root
+        self.size = size
+
+    def _remap(self, path: str) -> str:
+        if self.img_root is None:
+            return path
+        # root remapping: keep the basename tree under the new root
+        # (reference :92-125 remaps stored absolute paths)
+        if os.path.exists(path):
+            return path
+        return os.path.join(self.img_root, os.path.basename(path))
+
+    def get_images(self, w_batch, img_paths):
+        from PIL import Image
+
+        if img_paths is None:
+            raise ValueError("DiskImageProvider needs img_paths "
+                             "(latents must carry 'img_path')")
+        imgs = np.zeros((len(img_paths), self.size, self.size, 3), np.float32)
+        for i, p in enumerate(img_paths):
+            try:
+                with Image.open(self._remap(p)) as im:
+                    im = im.convert("RGB").resize((self.size, self.size),
+                                                  Image.BILINEAR)
+                    imgs[i] = np.asarray(im, np.float32)
+            except Exception:
+                pass  # black fallback
+        return jnp.asarray((imgs / 255.0 - 0.5) / 0.5)

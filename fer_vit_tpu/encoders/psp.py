@@ -152,10 +152,13 @@ def _bilinear_align_corners(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     orig = x.dtype
     ah = jnp.asarray(_interp_matrix(in_h, out_h), orig)
     aw = jnp.asarray(_interp_matrix(in_w, out_w), orig)
+    # HIGHEST precision: interpolation weights are exact; the default f32
+    # matmul path on this CPU (oneDNN/AMX) and on TPU quantizes to bf16.
+    hp = jax.lax.Precision.HIGHEST
     x = jnp.einsum("oh,bhwc->bowc", ah, x,
-                   preferred_element_type=jnp.float32).astype(orig)
+                   preferred_element_type=jnp.float32, precision=hp).astype(orig)
     x = jnp.einsum("ow,bhwc->bhoc", aw, x,
-                   preferred_element_type=jnp.float32).astype(orig)
+                   preferred_element_type=jnp.float32, precision=hp).astype(orig)
     return x
 
 

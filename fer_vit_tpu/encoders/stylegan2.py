@@ -349,10 +349,10 @@ class Generator(nn.Module):
 
 
 def face_pool(images: jax.Array, out_size: int = 256) -> jax.Array:
-    """AdaptiveAvgPool2d((256, 256)) equivalent for size→256 (integer factor
-    average pooling, exactly what torch does for divisible sizes)."""
-    b, h, w, c = images.shape
-    if h == out_size:
+    """AdaptiveAvgPool2d((256, 256)) equivalent with exact torch window
+    semantics in both directions (down- or up-sizing)."""
+    from fer_vit_tpu.encoders.arcface import adaptive_avg_pool
+
+    if images.shape[1] == out_size:
         return images
-    f = h // out_size
-    return images.reshape(b, out_size, f, out_size, f, c).mean(axis=(2, 4))
+    return adaptive_avg_pool(images, out_size)
