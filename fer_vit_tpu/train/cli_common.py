@@ -48,6 +48,9 @@ def add_misc_args(parser: argparse.ArgumentParser):
     parser.add_argument("--experiments_dir", default="experiments")
     parser.add_argument("--no_bf16", action="store_true",
                         help="force f32 compute even on TPU")
+    parser.add_argument("--resume", default=None,
+                        help="checkpoint path (last_model.pt) to resume from "
+                             "— full state: params, optimizer, epoch")
 
 
 def policy_from_args(args):
@@ -95,6 +98,17 @@ def run_latent_training(
     if init_params_patch is not None:
         state = state.replace(params=init_params_patch(state.params))
 
+    start_epoch, initial_best = 1, 0.0
+    resume_path = getattr(args, "resume", None)
+    if resume_path:
+        loaded = ExperimentLogger.load_checkpoint(resume_path,
+                                                  state_template=state)
+        state = loaded["state"]
+        start_epoch = loaded["epoch"] + 1
+        initial_best = float(loaded["metrics"].get("f1_macro") or 0.0)
+        print(f"Resumed from {resume_path} at epoch {loaded['epoch']} "
+              f"(best f1 {initial_best:.4f})")
+
     logger = ExperimentLogger(experiment_name, base_dir=args.experiments_dir)
     logger.log_config(config)
     results = fit(
@@ -102,6 +116,8 @@ def run_latent_training(
         train_store.latents, train_store.labels,
         val_store.latents, val_store.labels,
         logger,
+        start_epoch=start_epoch,
+        initial_best_f1=initial_best,
     )
     final = dict(results["final_metrics"],
                  data_fraction=getattr(args, "data_fraction", 1.0))

@@ -53,6 +53,8 @@ def fit(
     hist_every: int = 10,
     save_last_every_epoch: bool = False,
     verbose: bool = True,
+    start_epoch: int = 1,
+    initial_best_f1: float = 0.0,
 ) -> Dict:
     cfg = harness.cfg
     train_x = jnp.asarray(train_x)
@@ -67,9 +69,13 @@ def fit(
     sched = make_scheduler(cfg.scheduler, cfg.lr, cfg.epochs, eta_min=cfg.eta_min)
     base_key = jax.random.key(cfg.seed)
 
-    best_f1 = 0.0
+    best_f1 = initial_best_f1
     history = []
-    for epoch in range(1, cfg.epochs + 1):
+    # Resume: replay scheduler state up to start_epoch (plateau needs the
+    # observed history; we conservatively re-observe best_f1 only).
+    for past in range(1, start_epoch):
+        sched.step(best_f1 if past == start_epoch - 1 else None)
+    for epoch in range(start_epoch, cfg.epochs + 1):
         lr = sched.epoch_lr(epoch)
         key = jax.random.fold_in(base_key, epoch)
         state, train_loss, train_cm = harness.train_epoch(

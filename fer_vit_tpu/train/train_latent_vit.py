@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--experiments_dir", default="experiments")
     parser.add_argument("--no_bf16", action="store_true",
                         help="force f32 compute even on TPU")
+    parser.add_argument("--resume", default=None,
+                        help="checkpoint path to resume training from")
     return parser
 
 
@@ -126,6 +128,14 @@ def main(args) -> dict:
         jax.random.key(args.seed),
         jnp.zeros((1, args.seq_len, args.latent_dim)),
     )
+    start_epoch, initial_best = 1, 0.0
+    if args.resume:
+        loaded = ExperimentLogger.load_checkpoint(args.resume,
+                                                  state_template=state)
+        state = loaded["state"]
+        start_epoch = loaded["epoch"] + 1
+        initial_best = float(loaded["metrics"].get("f1_macro") or 0.0)
+        print(f"Resumed from {args.resume} at epoch {loaded['epoch']}")
 
     model_config = {
         "latent_dim": args.latent_dim, "seq_len": args.seq_len,
@@ -162,6 +172,8 @@ def main(args) -> dict:
         train_store.latents, train_store.labels,
         val_store.latents, val_store.labels,
         logger,
+        start_epoch=start_epoch,
+        initial_best_f1=initial_best,
     )
     final = dict(results["final_metrics"], data_fraction=args.data_fraction)
     logger.log_experiment_summary(final)
