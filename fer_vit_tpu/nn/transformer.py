@@ -80,16 +80,25 @@ class MultiHeadSelfAttention(nn.Module):
             return t.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         rng = None
-        if self.dropout > 0.0 and not deterministic:
+        dropout_active = self.dropout > 0.0 and not deterministic
+        if dropout_active:
             rng = self.make_rng("dropout")
-        out = dot_product_attention(
-            split_heads(q),
-            split_heads(k),
-            split_heads(v),
-            dropout_rate=self.dropout,
-            dropout_rng=rng,
-            deterministic=deterministic,
-        )
+        if not dropout_active and l >= 128 and jax.default_backend() == "tpu":
+            # Pallas fused kernel: keeps the (L, L) scores in VMEM
+            # (fer_vit_tpu.ops.flash_attention; parity-tested vs this path).
+            from fer_vit_tpu.ops.flash_attention import fused_attention
+
+            out = fused_attention(split_heads(q), split_heads(k),
+                                  split_heads(v))
+        else:
+            out = dot_product_attention(
+                split_heads(q),
+                split_heads(k),
+                split_heads(v),
+                dropout_rate=self.dropout,
+                dropout_rng=rng,
+                deterministic=deterministic,
+            )
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
         return out @ out_kernel.astype(self.dtype) + out_bias.astype(self.dtype)
 
