@@ -51,9 +51,16 @@ def add_misc_args(parser: argparse.ArgumentParser):
     parser.add_argument("--resume", default=None,
                         help="checkpoint path (last_model.pt) to resume from "
                              "— full state: params, optimizer, epoch")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (SURVEY.md §5 sanitizer "
+                             "toggle — errors at the first NaN-producing op)")
 
 
 def policy_from_args(args):
+    if getattr(args, "debug_nans", False):
+        import jax as _jax
+
+        _jax.config.update("jax_debug_nans", True)
     return default_policy(bf16=False if args.no_bf16 else None)
 
 
