@@ -27,7 +27,6 @@ import argparse
 import json
 import os
 import time
-from functools import partial
 from typing import Optional
 
 import jax
@@ -36,10 +35,7 @@ import numpy as np
 import optax
 from flax import serialization
 
-from fer_vit_tpu.afs.image_provider import (
-    DiskImageProvider,
-    GeneratedImageProvider,
-)
+from fer_vit_tpu.afs.image_provider import DiskImageProvider
 from fer_vit_tpu.afs.losses import AFSLoss
 from fer_vit_tpu.afs.pair_sampling import PairLatentStore, sample_pair_indices
 from fer_vit_tpu.afs.style_extractor import StyleExtractor

@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401  (kept: public aug API surface)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,8 +14,6 @@ params pytree *is* the ViT's params.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 
 from fer_vit_tpu.models.hybrid_latent_vit import (

@@ -27,12 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fer_vit_tpu.nn.initializers import (
-    kaiming_normal_fan_out_init,
-    normal_init,
-    torch_linear_bias_init,
-    torch_linear_kernel_init,
-)
+from fer_vit_tpu.nn.initializers import kaiming_normal_fan_out_init, normal_init
 
 _BN_KW = dict(momentum=0.9, epsilon=1e-5)
 

@@ -7,8 +7,6 @@ each CLI is a thin wrapper: build model + TrainConfig → Harness → fit.
 from __future__ import annotations
 
 import argparse
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -96,8 +94,14 @@ def run_latent_training(
     if class_weights is not None:
         print(f"Class weights: {class_weights}")
 
+    mesh = None
+    if jax.device_count() > 1:
+        from fer_vit_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"Data-parallel mesh over {jax.device_count()} devices")
     harness = Harness(model=model, cfg=cfg, class_weights=class_weights,
-                      lr_mult=lr_mult, wd_mask=wd_mask)
+                      lr_mult=lr_mult, wd_mask=wd_mask, mesh=mesh)
     state = harness.init_state(
         jax.random.key(args.seed),
         jnp.zeros((1, train_store.seq_len, train_store.latent_dim)),

@@ -10,7 +10,7 @@ confusion matrix + summary JSON.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -12,14 +12,13 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 
 import jax
 import jax.numpy as jnp
 
 from fer_vit_tpu.core.dtypes import default_policy
 from fer_vit_tpu.data.latent_augment import get_latent_train_transforms
-from fer_vit_tpu.data.latent_store import LatentStore, train_val_arrays
+from fer_vit_tpu.data.latent_store import train_val_arrays
 from fer_vit_tpu.models import LatentViT
 from fer_vit_tpu.train.harness import Harness, TrainConfig
 from fer_vit_tpu.train.loop import fit

@@ -32,7 +32,6 @@ import time
 from datetime import datetime
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 try:  # host-side TB writer; the compute path never imports torch
