@@ -96,7 +96,7 @@ class TimmBlock(nn.Module):
                          param_dtype=self.param_dtype, name="norm2")(x)
         h = nn.Dense(self.mlp_dim, kernel_init=trunc_normal_init(0.02),
                      dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # timm uses exact GELU
         h = nn.Dense(self.embed_dim, kernel_init=trunc_normal_init(0.02),
                      dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
         return x + h
@@ -114,7 +114,7 @@ class AdapterModule(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.Dense(self.adapter_dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="down")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # timm uses exact GELU
         h = nn.Dense(self.embed_dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="up")(h)
         alpha = self.param(

@@ -34,7 +34,9 @@ def _activation(name: str) -> Callable[[jax.Array], jax.Array]:
     if name == "relu":
         return nn.relu
     if name == "gelu":
-        return nn.gelu
+        # exact (erf) GELU — torch's TransformerEncoderLayer 'gelu' is exact;
+        # flax's default tanh approximation differs by ~1e-4.
+        return lambda x: nn.gelu(x, approximate=False)
     raise ValueError(f"unknown activation: {name!r}")
 
 
