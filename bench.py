@@ -33,7 +33,9 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_TARGET_IPS = 5000.0  # BASELINE.md rebuild target, images/sec/chip
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+# batch 512 is the measured sweet spot on v5e (256 → 805 img/s, 512 → 1038,
+# 1024 → OOM); keep in sync with the warmed compilation cache.
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 
