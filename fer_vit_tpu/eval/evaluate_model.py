@@ -187,12 +187,67 @@ def _plots(cm, probs, preds, labels, out_dir):
     plt.close(fig)
 
 
+def visualize_attention(model, variables, sample_latents: np.ndarray,
+                        out_dir: str, n_samples: int = 5) -> None:
+    """CLS-token similarity "attention" visualization (reference:
+    eval/evaluate_model.py:231-296 replays model internals manually; here
+    Flax ``capture_intermediates`` grabs every transformer layer's hidden
+    states and we plot per-layer cosine similarity of the CLS token to each
+    w+ token)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+
+    x = jnp.asarray(sample_latents[:n_samples])
+    _, inter = model.apply(
+        variables, x,
+        capture_intermediates=lambda mdl, name: name == "__call__",
+    )
+    # collect transformer layer outputs: (layers, B, L+1, D)
+    inters = inter["intermediates"]
+    layer_outs = []
+    def walk(node, path=""):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}/{k}")
+        elif "layers_" in path and path.endswith("__call__"):
+            layer_outs.append((path, node[0]))
+    walk(inters)
+    layer_outs.sort(key=lambda kv: kv[0])
+    if not layer_outs:
+        return
+    for s in range(min(n_samples, x.shape[0])):
+        sims = []
+        for _, h in layer_outs:
+            h_s = np.asarray(h[s], np.float32)  # (L+1, D)
+            cls, toks = h_s[0], h_s[1:]
+            denom = (np.linalg.norm(toks, axis=1)
+                     * max(np.linalg.norm(cls), 1e-8))
+            sims.append(toks @ cls / np.maximum(denom, 1e-8))
+        sims = np.stack(sims)  # (layers, L)
+        fig, ax = plt.subplots(figsize=(10, 4))
+        im = ax.imshow(sims, cmap="viridis", aspect="auto")
+        ax.set_xlabel("Latent Token Index")
+        ax.set_ylabel("Transformer Layer")
+        ax.set_title(f"CLS-token similarity — sample {s}")
+        fig.colorbar(im, ax=ax)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"attention_sample_{s}.png"),
+                    dpi=120)
+        plt.close(fig)
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Evaluate trained model")
     parser.add_argument("--checkpoint_path", required=True)
     parser.add_argument("--latent_test_dir", required=True)
     parser.add_argument("--output_dir", default="eval_results")
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--visualize_samples", type=int, default=5)
     return parser
 
 
@@ -208,6 +263,12 @@ def main(args) -> dict:
     print(classification_report(cm, names))
 
     _plots(cm, probs, preds, store.labels, args.output_dir)
+    if args.visualize_samples > 0:
+        try:
+            visualize_attention(model, variables, store.latents,
+                                args.output_dir, args.visualize_samples)
+        except Exception as e:  # CNN checkpoints have no transformer layers
+            print(f"attention viz skipped: {type(e).__name__}: {e}")
 
     report = {
         "checkpoint": args.checkpoint_path,

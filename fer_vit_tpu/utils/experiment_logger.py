@@ -118,6 +118,68 @@ class ExperimentLogger:
                 f"Gradient_Norm/{name}", float(np.linalg.norm(arr)), epoch
             )
 
+    def log_learning_curves(self, train_loss: float, val_metrics: Dict[str, float],
+                            epoch: int) -> None:
+        """Reference API (utils/experiment_logger.py:54-62)."""
+        self._add_scalar("Loss/Train", float(train_loss), epoch)
+        for key, value in val_metrics.items():
+            if key in ("accuracy", "f1_macro", "f1_weighted"):
+                self._add_scalar(f"Validation/{key}", float(value), epoch)
+
+    def log_hyperparameters(self, hparams: Dict[str, Any],
+                            metrics: Dict[str, float]) -> None:
+        """Reference API (:70-72); TB hparams plus a JSON sidecar."""
+        if self.writer is not None:
+            try:
+                self.writer.add_hparams(
+                    {k: v for k, v in hparams.items()
+                     if isinstance(v, (int, float, str, bool))},
+                    {k: float(v) for k, v in metrics.items()},
+                )
+            except Exception:
+                pass
+        with open(os.path.join(self._log_dir, "hparams.json"), "w") as f:
+            json.dump({"hparams": hparams, "metrics": metrics}, f,
+                      indent=2, default=str)
+
+    def log_attention_weights(self, attention_weights, epoch: int,
+                              sample_idx: int = 0) -> None:
+        """Reference API (:148-163): heatmap of attention weights."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        fig, ax = plt.subplots(figsize=(10, 6))
+        im = ax.imshow(np.asarray(attention_weights), cmap="viridis",
+                       aspect="auto")
+        ax.set_title(f"Attention Weights - Sample {sample_idx}")
+        ax.set_xlabel("Latent Token Index")
+        ax.set_ylabel("Attention Head")
+        fig.colorbar(im, ax=ax)
+        fig.tight_layout()
+        if self.writer is not None:
+            self.writer.add_figure(f"Attention/Sample_{sample_idx}", fig,
+                                   epoch)
+        fig.savefig(os.path.join(self._log_dir,
+                                 f"attention_s{sample_idx}_e{epoch}.png"),
+                    dpi=120)
+        plt.close(fig)
+
+    def log_images(self, latents, labels, predictions, epoch: int,
+                   max_images: int = 8) -> None:
+        """Reference API (:184-192): latent statistics histograms (the
+        inputs are latents, not visualizable images)."""
+        del labels, predictions, max_images
+        arr = np.asarray(latents)
+        if self.writer is not None:
+            self.writer.add_histogram("Latent_Statistics/Mean",
+                                      arr.mean(axis=(1, 2)), epoch)
+            self.writer.add_histogram("Latent_Statistics/Std",
+                                      arr.std(axis=(1, 2)), epoch)
+
     def log_confusion_matrix(self, y_true, y_pred, class_names, epoch: int,
                              cm: Optional[np.ndarray] = None) -> None:
         """Accepts either label arrays (reference signature) or a precomputed
