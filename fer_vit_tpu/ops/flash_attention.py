@@ -12,6 +12,12 @@ The XLA reference path (:mod:`fer_vit_tpu.ops.attention`) remains the
 default; ``fused_attention`` is selected by
 :class:`fer_vit_tpu.nn.transformer.MultiHeadSelfAttention` on TPU backends
 for L ≥ 128 where it saves the materialized scores.
+
+Differentiability: ``pl.pallas_call`` has no reverse-mode rule, so
+``fused_attention`` carries a ``jax.custom_vjp`` whose backward recomputes
+the attention with the XLA implementation and differentiates that — the
+standard recompute-in-backward scheme of flash attention. This makes the
+fused path safe under ``jax.grad`` (training steps, grad histograms).
 """
 
 from __future__ import annotations
@@ -22,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from fer_vit_tpu.ops.attention import dot_product_attention
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -39,14 +47,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    interpret: bool = False) -> jax.Array:
-    """softmax(QKᵀ/√d)V over (B, H, L, Dh) tensors — Pallas fused kernel.
-
-    No dropout (inference / deterministic path); the transformer layer falls
-    back to the XLA implementation when attention dropout is active.
-    """
+def _fused_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
+                            interpret: bool) -> jax.Array:
     b, h, l, dh = q.shape
     scale = 1.0 / (dh ** 0.5)
     grid = (b * h,)
@@ -54,8 +56,11 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     def reshape(t):
         return t.reshape(b * h, l, dh)
 
-    spec = pl.BlockSpec((1, l, dh), lambda i: (i, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    spec = pl.BlockSpec(
+        (1, l, dh), lambda i: (i, 0, 0),
+        memory_space=pltpu.MemorySpace.ANY if interpret
+        else pltpu.MemorySpace.VMEM,
+    )
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=grid,
@@ -65,3 +70,38 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
     )(reshape(q), reshape(k), reshape(v))
     return out.reshape(b, h, l, dh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     interpret: bool) -> jax.Array:
+    return _fused_attention_pallas(q, k, v, interpret)
+
+
+def _fused_attention_fwd(q, k, v, interpret):
+    # Residuals are just the inputs; the backward recomputes attention via
+    # the XLA path and differentiates that (flash-attention-style remat —
+    # cheaper than saving the (L, L) weights, and exact: both paths compute
+    # softmax(QKᵀ/√d)V with f32 statistics).
+    return _fused_attention_pallas(q, k, v, interpret), (q, k, v)
+
+
+def _fused_attention_bwd(interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(dot_product_attention, q, k, v)
+    return vjp(g)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    """softmax(QKᵀ/√d)V over (B, H, L, Dh) tensors — Pallas fused kernel.
+
+    No dropout (inference / deterministic path); the transformer layer falls
+    back to the XLA implementation when attention dropout is active.
+    Reverse-mode differentiable via a custom VJP (XLA recompute backward).
+    """
+    return _fused_attention(q, k, v, interpret)
