@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -106,8 +107,9 @@ def main() -> None:
         import traceback
 
         traceback.print_exc()
+        # stderr: stdout carries exactly one JSON line (CLAUDE.md contract)
         print(f"end-to-end bench failed ({type(e).__name__}); "
-              "falling back to classifier-only", flush=True)
+              "falling back to classifier-only", flush=True, file=sys.stderr)
         value = bench_latent_vit()
         metric = "latent_vit_d2_classifications_per_sec_per_chip"
     print(json.dumps({

@@ -62,6 +62,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_cons", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--generator_size", type=int, default=1024)
+    p.add_argument("--device", default="cuda",
+                   help="accepted for reference CLI parity (reference: "
+                        "train/train_style_extractor.py:202); ignored — "
+                        "device placement is JAX's")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path (checkpoints/last_model.pt) to "
+                        "resume from — params, batch stats, optimizer, "
+                        "epoch, best loss")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY.md §5 sanitizer)")
     return p
 
 
@@ -187,6 +197,8 @@ def run_epoch(jit_step, params, batch_stats, opt_state, lr, pair_store,
 
 
 def main(args) -> dict:
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_dir = os.path.join(args.out_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -221,8 +233,21 @@ def main(args) -> dict:
     best_loss = float("inf")
     monitor_key = "val_loss" if val_store else "train_loss"
     log = []
+    start_epoch = 1
+    if args.resume:
+        with open(args.resume, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        params = serialization.from_bytes(params, payload["params"])
+        batch_stats = serialization.from_bytes(batch_stats,
+                                               payload["batch_stats"])
+        opt_state = serialization.from_bytes(opt_state, payload["opt_state"])
+        start_epoch = int(payload["epoch"]) + 1
+        best_loss = float(json.loads(payload.get("best_loss", "Infinity")))
+        log = json.loads(payload.get("log_history", "[]"))
+        print(f"Resumed from {args.resume} at epoch {payload['epoch']} "
+              f"(best {monitor_key}={best_loss:.4f})")
     base_key = jax.random.key(args.seed)
-    for epoch in range(1, args.epochs + 1):
+    for epoch in range(start_epoch, args.epochs + 1):
         # cosine(eta_min=1e-6) as in the reference (:67-69)
         import math as _m
 
@@ -248,18 +273,22 @@ def main(args) -> dict:
               f"lpips={tr['lpips']:.4f} cons={tr['cons']:.4f}"
               + (f"  val_loss={entry['val_loss']:.4f}" if val_store else ""))
 
+        monitor_loss = entry.get(monitor_key, tr["loss"])
+        new_best = monitor_loss < best_loss
+        if new_best:
+            best_loss = monitor_loss
         payload = serialization.msgpack_serialize({
             "epoch": epoch,
             "params": serialization.to_bytes(params),
             "batch_stats": serialization.to_bytes(batch_stats),
             "opt_state": serialization.to_bytes(opt_state),
             "log": json.dumps(entry),
+            "best_loss": json.dumps(best_loss),
+            "log_history": json.dumps(log),
         })
         with open(os.path.join(ckpt_dir, "last_model.pt"), "wb") as f:
             f.write(payload)
-        monitor_loss = entry.get(monitor_key, tr["loss"])
-        if monitor_loss < best_loss:
-            best_loss = monitor_loss
+        if new_best:
             with open(os.path.join(ckpt_dir, "best_model.pt"), "wb") as f:
                 f.write(payload)
             print(f"  → best_model saved ({monitor_key}={best_loss:.4f})")

@@ -35,9 +35,17 @@ PACK_NAME = "latents_pack.npz"
 class LatentStore:
     latents: np.ndarray  # (N, L, D) float32
     labels: np.ndarray  # (N,) int32
+    total: Optional[int] = None  # pre-subset sample count (None = unsubset)
 
     def __len__(self) -> int:
         return self.latents.shape[0]
+
+    @property
+    def total_samples(self) -> int:
+        """Size of the full dataset before any --data_fraction subsetting
+        (the reference's config key ``data.train_samples_total``,
+        reference: train/train_latent_vit.py)."""
+        return self.total if self.total is not None else len(self)
 
     @property
     def seq_len(self) -> int:
@@ -128,7 +136,8 @@ class LatentStore:
         return np.asarray(sorted(selected), dtype=np.int64)
 
     def subset(self, indices: np.ndarray) -> "LatentStore":
-        return LatentStore(self.latents[indices], self.labels[indices])
+        return LatentStore(self.latents[indices], self.labels[indices],
+                           total=self.total_samples)
 
     def class_weights(self, num_classes: int = 7) -> np.ndarray:
         """Inverse-frequency weights total/(C·count) (reference:

@@ -109,14 +109,16 @@ def run_latent_training(
     if init_params_patch is not None:
         state = state.replace(params=init_params_patch(state.params))
 
-    start_epoch, initial_best = 1, 0.0
+    start_epoch, initial_best, sched_state = 1, 0.0, None
     resume_path = getattr(args, "resume", None)
     if resume_path:
         loaded = ExperimentLogger.load_checkpoint(resume_path,
                                                   state_template=state)
         state = loaded["state"]
         start_epoch = loaded["epoch"] + 1
-        initial_best = float(loaded["metrics"].get("f1_macro") or 0.0)
+        initial_best = float(loaded["metrics"].get("best_f1_macro")
+                     or loaded["metrics"].get("f1_macro") or 0.0)
+        sched_state = loaded.get("scheduler_state")
         print(f"Resumed from {resume_path} at epoch {loaded['epoch']} "
               f"(best f1 {initial_best:.4f})")
 
@@ -129,6 +131,7 @@ def run_latent_training(
         logger,
         start_epoch=start_epoch,
         initial_best_f1=initial_best,
+        scheduler_state=sched_state,
     )
     final = dict(results["final_metrics"],
                  data_fraction=getattr(args, "data_fraction", 1.0))

@@ -55,6 +55,7 @@ def fit(
     verbose: bool = True,
     start_epoch: int = 1,
     initial_best_f1: float = 0.0,
+    scheduler_state: Dict | None = None,
 ) -> Dict:
     cfg = harness.cfg
     train_x = jnp.asarray(train_x)
@@ -71,10 +72,16 @@ def fit(
 
     best_f1 = initial_best_f1
     history = []
-    # Resume: replay scheduler state up to start_epoch (plateau needs the
-    # observed history; we conservatively re-observe best_f1 only).
-    for past in range(1, start_epoch):
-        sched.step(best_f1 if past == start_epoch - 1 else None)
+    if scheduler_state is not None:
+        # Exact resume: checkpoints carry Scheduler.state_dict() captured
+        # after that epoch's step, so restoring it replays the identical LR
+        # sequence (incl. plateau decay history).
+        sched.load_state_dict(scheduler_state)
+    else:
+        # Legacy checkpoints without scheduler state: conservatively
+        # re-observe best_f1 once (approximate — plateau decays are lost).
+        for past in range(1, start_epoch):
+            sched.step(best_f1 if past == start_epoch - 1 else None)
     for epoch in range(start_epoch, cfg.epochs + 1):
         lr = sched.epoch_lr(epoch)
         key = jax.random.fold_in(base_key, epoch)
@@ -120,16 +127,26 @@ def fit(
             best_f1 = metrics["val_f1"]
             if verbose:
                 print(f"  → Best model (F1: {best_f1:.4f})")
+        # Step the scheduler before checkpointing so the saved
+        # scheduler_state is exactly the state a resume at epoch+1 needs.
+        # (The LR for this epoch was already fetched above; the reference
+        # steps after saving, but its checkpoints hold no scheduler state,
+        # so the ordering is unobservable on its side.)
+        sched.step(metrics["val_f1"])
+
         if is_best or save_last_every_epoch:
             val_summary = {
                 "loss": metrics["val_loss"],
                 "accuracy": metrics["val_acc"],
                 "f1_macro": metrics["val_f1"],
                 "f1_weighted": vm["f1_weighted"],
+                # running best, so resume restores best-model tracking
+                # exactly (this epoch's f1 alone would understate it when
+                # the checkpointed epoch isn't the best one)
+                "best_f1_macro": best_f1,
             }
-            logger.save_checkpoint(state, epoch, val_summary, is_best)
-
-        sched.step(metrics["val_f1"])
+            logger.save_checkpoint(state, epoch, val_summary, is_best,
+                                   scheduler_state=sched.state_dict())
 
     # Final evaluation + report (reference: train_latent_vit.py:358-382).
     val_loss, val_cm = harness.eval_epoch(state, val_x, val_y, class_weights)

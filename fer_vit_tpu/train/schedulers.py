@@ -32,6 +32,15 @@ class Scheduler:
     def step(self, metric: Optional[float] = None) -> None:
         """Called after each epoch (torch ``scheduler.step()`` position)."""
 
+    def state_dict(self) -> dict:
+        """Serializable state for exact resume (torch scheduler analogue).
+        Closed-form schedules (cosine, warmup_cosine) derive the LR purely
+        from the epoch index, so the base dict suffices for them."""
+        return {"lr": self.lr}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["lr"])
+
 
 class CosineScheduler(Scheduler):
     def __init__(self, base_lr: float, t_max: int, eta_min: float = 0.0):
@@ -72,6 +81,14 @@ class PlateauScheduler(Scheduler):
             if self.num_bad > self.patience:
                 self.lr *= self.factor
                 self.num_bad = 0
+
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["lr"])
+        self.best = float(d.get("best", -math.inf))
+        self.num_bad = int(d.get("num_bad", 0))
 
 
 class WarmupCosineScheduler(Scheduler):

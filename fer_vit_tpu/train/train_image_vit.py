@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_fraction", type=float, default=1.0)
     parser.add_argument("--experiments_dir", default="experiments")
     parser.add_argument("--no_bf16", action="store_true")
+    parser.add_argument("--resume", default=None,
+                        help="checkpoint path (last_model.pt) to resume from "
+                             "— full state: params, optimizer, epoch, LR "
+                             "scheduler")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (SURVEY.md §5 sanitizer "
+                             "toggle — errors at the first NaN-producing op)")
     return parser
 
 
@@ -116,6 +123,8 @@ def build_model(args, policy):
 
 
 def main(args) -> dict:
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     train_store = ImageStore.load(args.train_dir, args.img_size)
     val_store = ImageStore.load(args.val_dir, args.img_size)
     if args.data_fraction < 1.0:
@@ -155,6 +164,18 @@ def main(args) -> dict:
     if params_patch is not None:
         state = state.replace(params=params_patch(state.params))
 
+    start_epoch, initial_best, sched_state = 1, 0.0, None
+    if args.resume:
+        loaded = ExperimentLogger.load_checkpoint(args.resume,
+                                                  state_template=state)
+        state = loaded["state"]
+        start_epoch = loaded["epoch"] + 1
+        initial_best = float(loaded["metrics"].get("best_f1_macro")
+                     or loaded["metrics"].get("f1_macro") or 0.0)
+        sched_state = loaded.get("scheduler_state")
+        print(f"Resumed from {args.resume} at epoch {loaded['epoch']} "
+              f"(best f1 {initial_best:.4f})")
+
     model_config = {
         "model_size": args.model_size, "img_size": args.img_size,
         "patch_size": args.patch_size, "embed_dim": args.embed_dim,
@@ -171,7 +192,7 @@ def main(args) -> dict:
     }
     config = {"model": model_config, "training": training_config,
               "data": {"train_dir": args.train_dir, "val_dir": args.val_dir,
-                       "train_samples_used": len(train_store),
+                       "train_samples": len(train_store),
                        "val_samples": len(val_store)}}
 
     base = create_experiment_name(
@@ -183,7 +204,9 @@ def main(args) -> dict:
     logger.log_config(config)
 
     results = fit(harness, state, train_store.images, train_store.labels,
-                  val_store.images, val_store.labels, logger)
+                  val_store.images, val_store.labels, logger,
+                  start_epoch=start_epoch, initial_best_f1=initial_best,
+                  scheduler_state=sched_state)
     final = dict(results["final_metrics"], data_fraction=args.data_fraction)
     logger.log_experiment_summary(final)
     logger.close()

@@ -76,6 +76,7 @@ def main(args) -> dict:
         "data": {
             "train_dir": args.latent_train_dir,
             "val_dir": args.latent_val_dir,
+            "train_samples_total": train_store.total_samples,
             "train_samples_used": len(train_store),
             "val_samples": len(val_store),
         },

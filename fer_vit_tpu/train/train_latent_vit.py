@@ -65,10 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="force f32 compute even on TPU")
     parser.add_argument("--resume", default=None,
                         help="checkpoint path to resume training from")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (SURVEY.md §5 sanitizer "
+                             "toggle — errors at the first NaN-producing op)")
     return parser
 
 
 def main(args) -> dict:
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     print(f"Using devices: {jax.devices()}")
     train_store, val_store = train_val_arrays(
         args.latent_train_dir, args.latent_val_dir, args.data_fraction, args.seed
@@ -127,13 +132,15 @@ def main(args) -> dict:
         jax.random.key(args.seed),
         jnp.zeros((1, args.seq_len, args.latent_dim)),
     )
-    start_epoch, initial_best = 1, 0.0
+    start_epoch, initial_best, sched_state = 1, 0.0, None
     if args.resume:
         loaded = ExperimentLogger.load_checkpoint(args.resume,
                                                   state_template=state)
         state = loaded["state"]
         start_epoch = loaded["epoch"] + 1
-        initial_best = float(loaded["metrics"].get("f1_macro") or 0.0)
+        initial_best = float(loaded["metrics"].get("best_f1_macro")
+                     or loaded["metrics"].get("f1_macro") or 0.0)
+        sched_state = loaded.get("scheduler_state")
         print(f"Resumed from {args.resume} at epoch {loaded['epoch']}")
 
     model_config = {
@@ -155,6 +162,7 @@ def main(args) -> dict:
         "data": {
             "train_dir": args.latent_train_dir,
             "val_dir": args.latent_val_dir,
+            "train_samples_total": train_store.total_samples,
             "train_samples_used": len(train_store),
             "val_samples": len(val_store),
         },
@@ -173,6 +181,7 @@ def main(args) -> dict:
         logger,
         start_epoch=start_epoch,
         initial_best_f1=initial_best,
+        scheduler_state=sched_state,
     )
     final = dict(results["final_metrics"], data_fraction=args.data_fraction)
     logger.log_experiment_summary(final)

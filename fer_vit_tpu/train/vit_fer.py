@@ -37,10 +37,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_size", choices=["tiny", "small", "base"],
                    default="base")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path (out_dir/last_model.pt) to resume "
+                        "from — params, optimizer, epoch, metric history")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY.md §5 sanitizer)")
     return p
 
 
 def main(args) -> dict:
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     os.makedirs(args.out_dir, exist_ok=True)
     train_store = ImageStore.load(args.train_dir, args.img_size)
     test_store = ImageStore.load(args.test_dir, args.img_size)
@@ -72,8 +79,20 @@ def main(args) -> dict:
     vx = jnp.asarray(test_store.images)
     vy = jnp.asarray(test_store.labels, jnp.int32)
 
-    train_losses, test_accuracies = [], []
-    for epoch in range(1, args.epochs + 1):
+    from flax import serialization
+
+    ckpt_path = os.path.join(args.out_dir, "last_model.pt")
+    train_losses, test_accuracies, start_epoch = [], [], 1
+    if args.resume:
+        with open(args.resume, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        state = serialization.from_bytes(state, payload["state"])
+        start_epoch = int(payload["epoch"]) + 1
+        train_losses = list(payload["train_losses"])
+        test_accuracies = list(payload["test_accuracies"])
+        print(f"Resumed from {args.resume} at epoch {payload['epoch']}")
+
+    for epoch in range(start_epoch, args.epochs + 1):
         key = jax.random.fold_in(jax.random.key(args.seed), epoch)
         state, loss, _ = harness.train_epoch(state, key, tx, ty,
                                              jnp.float32(args.lr), None)
@@ -83,6 +102,13 @@ def main(args) -> dict:
         test_accuracies.append(acc)
         print(f"Epoch {epoch}/{args.epochs}  loss={float(loss):.4f}  "
               f"test_acc={acc:.4f}")
+        with open(ckpt_path, "wb") as f:
+            f.write(serialization.msgpack_serialize({
+                "epoch": epoch,
+                "state": serialization.to_bytes(state),
+                "train_losses": [float(v) for v in train_losses],
+                "test_accuracies": [float(v) for v in test_accuracies],
+            }))
 
     # curve figure + CSV (reference :92-104)
     try:

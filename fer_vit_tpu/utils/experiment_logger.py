@@ -218,10 +218,15 @@ class ExperimentLogger:
     # -- checkpoints --------------------------------------------------------
 
     def save_checkpoint(self, state, epoch: int, metrics: Dict[str, Any],
-                        is_best: bool = False) -> None:
+                        is_best: bool = False,
+                        scheduler_state: Optional[Dict[str, Any]] = None) -> None:
         """Write last_model.pt (every call) / best_model.pt (on improvement),
         matching the reference's best/last semantics
-        (reference: utils/experiment_logger.py:121-145)."""
+        (reference: utils/experiment_logger.py:121-145).
+
+        ``scheduler_state`` (Scheduler.state_dict()) rides along so a
+        resumed run replays the exact LR sequence — the reference has no
+        resume at all (SURVEY.md §5), this is a rebuild extension."""
         metrics = {
             k: (float(v) if np.isscalar(v) or getattr(v, "ndim", 1) == 0 else None)
             for k, v in metrics.items()
@@ -233,6 +238,8 @@ class ExperimentLogger:
             "config": json.dumps(self.config),
             "run_id": self.run_dir,
         }
+        if scheduler_state is not None:
+            payload["scheduler_state"] = json.dumps(scheduler_state)
         blob = serialization.msgpack_serialize(payload)
         last = os.path.join(self.run_dir, "checkpoints", "last_model.pt")
         with open(last, "wb") as f:
@@ -254,6 +261,10 @@ class ExperimentLogger:
             "metrics": json.loads(payload["metrics"]),
             "config": json.loads(payload["config"]),
             "run_id": payload["run_id"],
+            "scheduler_state": (
+                json.loads(payload["scheduler_state"])
+                if "scheduler_state" in payload else None
+            ),
         }
         if state_template is not None:
             out["state"] = serialization.from_bytes(state_template, payload["state"])

@@ -43,9 +43,14 @@ def metrics_from_confusion(cm: np.ndarray) -> Dict[str, float]:
         f1 = np.where(denom > 0, 2 * precision * recall / denom, 0.0)
 
     accuracy = float(tp.sum() / total) if total > 0 else 0.0
-    f1_macro = float(f1.mean())
+    # sklearn's macro average (labels=None) runs over the union of observed
+    # true and predicted labels, not the fixed class set — a class absent
+    # from both must not deflate macro-F1 (it drives best-ckpt selection).
+    present = (support > 0) | (pred_count > 0)
+    f1_macro = float(f1[present].mean()) if present.any() else 0.0
     f1_weighted = float((f1 * support).sum() / total) if total > 0 else 0.0
     return {
+        "present": present,
         "accuracy": accuracy,
         "f1_macro": f1_macro,
         "f1_weighted": f1_weighted,
@@ -66,10 +71,13 @@ def classification_report(cm: np.ndarray, class_names: Sequence[str]) -> str:
             f"{m['f1'][i]:9.2f} {int(m['support'][i]):9d}"
         )
     total = int(m["support"].sum())
+    present = m["present"]
     lines.append("")
     lines.append(f"{'accuracy':>12s} {'':9s} {'':9s} {m['accuracy']:9.2f} {total:9d}")
+    p_macro = m["precision"][present].mean() if present.any() else 0.0
+    r_macro = m["recall"][present].mean() if present.any() else 0.0
     lines.append(
-        f"{'macro avg':>12s} {m['precision'].mean():9.2f} {m['recall'].mean():9.2f} "
+        f"{'macro avg':>12s} {p_macro:9.2f} {r_macro:9.2f} "
         f"{m['f1_macro']:9.2f} {total:9d}"
     )
     w = m["support"] / max(total, 1)

@@ -72,6 +72,28 @@ class TestMetricsSklearnParity:
             rtol=1e-9,
         )
 
+    def test_matches_sklearn_with_absent_class(self):
+        """sklearn's macro-F1 (labels=None) averages only over labels seen
+        in y_true ∪ y_pred; a class absent from the val split must not
+        deflate macro-F1 (ADVICE r1: best-ckpt selection depends on it)."""
+        from sklearn.metrics import f1_score
+
+        rng = np.random.default_rng(2)
+        # classes 5 and 6 never appear in labels or predictions
+        y_true = rng.integers(0, 5, size=300)
+        y_pred = rng.integers(0, 5, size=300)
+        cm = np.asarray(
+            confusion_update(
+                jnp.zeros((7, 7)), jnp.asarray(y_pred), jnp.asarray(y_true),
+                jnp.ones(300),
+            )
+        )
+        m = metrics_from_confusion(cm)
+        np.testing.assert_allclose(
+            m["f1_macro"], f1_score(y_true, y_pred, average="macro"),
+            rtol=1e-9,
+        )
+
     def test_report_runs(self):
         cm = np.eye(7) * 10
         rep = classification_report(cm, [f"c{i}" for i in range(7)])
@@ -198,6 +220,100 @@ class TestSchedulers:
         assert s.epoch_lr(1) == pytest.approx(1e-4)
         assert s.epoch_lr(10) == pytest.approx(1e-3)
         assert s.epoch_lr(100) < 1e-4
+
+
+class TestSchedulerStateResume:
+    def test_plateau_state_dict_preserves_decay_history(self):
+        """Round-tripping state_dict must preserve the decayed LR and the
+        bad-epoch counter — the round-1 replay lost both."""
+        s = make_scheduler("plateau", 1e-3, epochs=100)
+        s.step(0.5)  # best
+        for _ in range(6):  # 6 bad epochs > patience 5 → halve
+            s.step(0.4)
+        s.step(0.45)  # 1 more bad epoch after the decay
+        assert s.lr == pytest.approx(5e-4)
+        assert s.num_bad == 1
+
+        s2 = make_scheduler("plateau", 1e-3, epochs=100)
+        s2.load_state_dict(s.state_dict())
+        # continuing both with the same metrics yields the same LR sequence
+        for m in [0.4] * 7:
+            s.step(m)
+            s2.step(m)
+            assert s2.lr == pytest.approx(s.lr)
+        assert s.lr == pytest.approx(2.5e-4)  # a second decay happened
+
+    def test_fit_resume_identical_to_straight_run(self, tmp_path):
+        """Resume at epoch k must replay the exact LR sequence and metrics
+        of an uninterrupted run (VERDICT r1 #7)."""
+        import json
+        import os
+
+        from fer_vit_tpu.train.loop import fit
+        from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(64, 18, 512)).astype(np.float32)
+        y = (np.arange(64) % 7).astype(np.int32)
+        vx = rng.normal(size=(32, 18, 512)).astype(np.float32)
+        vy = (np.arange(32) % 7).astype(np.int32)
+
+        def build(epochs):
+            model = LatentViT(depth=1, embed_dim=32, heads=2, mlp_dim=64)
+            cfg = TrainConfig(epochs=epochs, batch_size=32, lr=1e-3,
+                              mixup=0.0, scheduler="plateau")
+            h = Harness(model=model, cfg=cfg)
+            state = h.init_state(jax.random.key(0), jnp.zeros((1, 18, 512)))
+            return h, state
+
+        def lr_sequence(logger):
+            lrs = {}
+            with open(os.path.join(logger.run_dir, "logs",
+                                   "scalars.jsonl")) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec["tag"] == "Learning_Rate/Group_0":
+                        lrs[rec["step"]] = rec["value"]
+            return lrs
+
+        # Straight 6-epoch run.
+        h, state = build(6)
+        log_a = ExperimentLogger("straight", base_dir=str(tmp_path))
+        res_a = fit(h, state, x, y, vx, vy, log_a, hist_every=0,
+                    verbose=False, save_last_every_epoch=True)
+        log_a.close()
+
+        # Interrupted: 3 epochs, then resume 4..6 from the checkpoint.
+        h, state = build(3)
+        log_b1 = ExperimentLogger("part1", base_dir=str(tmp_path))
+        fit(h, state, x, y, vx, vy, log_b1, hist_every=0, verbose=False,
+            save_last_every_epoch=True)
+        log_b1.close()
+        ckpt = os.path.join(log_b1.run_dir, "checkpoints", "last_model.pt")
+
+        h2, template = build(6)
+        loaded = ExperimentLogger.load_checkpoint(ckpt,
+                                                  state_template=template)
+        assert loaded["scheduler_state"] is not None
+        assert loaded["epoch"] == 3
+        log_b2 = ExperimentLogger("part2", base_dir=str(tmp_path))
+        res_b = fit(
+            h2, loaded["state"], x, y, vx, vy, log_b2, hist_every=0,
+            verbose=False, save_last_every_epoch=True,
+            start_epoch=4,
+            initial_best_f1=float(loaded["metrics"]["best_f1_macro"]),
+            scheduler_state=loaded["scheduler_state"],
+        )
+        log_b2.close()
+
+        # Epochs 4-6 of the resumed run == epochs 4-6 of the straight run.
+        for ea, eb in zip(res_a["history"][3:], res_b["history"]):
+            for k in ea:
+                assert ea[k] == pytest.approx(eb[k], abs=1e-6), (k, ea, eb)
+        lrs_a, lrs_b = lr_sequence(log_a), lr_sequence(log_b2)
+        for epoch in (4, 5, 6):
+            assert lrs_a[epoch] == pytest.approx(lrs_b[epoch])
+        assert res_a["best_f1"] == pytest.approx(res_b["best_f1"])
 
 
 class TestCheckpointRoundtrip:

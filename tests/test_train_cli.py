@@ -27,6 +27,47 @@ def run_cli(module_main, parser, argv):
     return module_main(args)
 
 
+REFERENCE_ROOT = "/root/reference"
+
+# (our module, reference parser source) for the mechanical flag diff
+CLI_PAIRS = [
+    ("fer_vit_tpu.train.train_latent_vit", "train/train_latent_vit.py"),
+    ("fer_vit_tpu.train.train_latent_vit_v2", "train/train_latent_vit_v2.py"),
+    ("fer_vit_tpu.train.train_image_vit", "train/train_image_vit.py"),
+    ("fer_vit_tpu.train.train_hybrid_latent_vit",
+     "train/train_hybrid_latent_vit.py"),
+    ("fer_vit_tpu.train.train_expression_aware_vit",
+     "train/train_expression_aware_vit.py"),
+    ("fer_vit_tpu.train.train_latent_cnn", "train/train_latent_cnn.py"),
+    ("fer_vit_tpu.afs.train_style_extractor",
+     "train/train_style_extractor.py"),
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_ROOT),
+                    reason="reference tree not present")
+@pytest.mark.parametrize("module_name,ref_rel", CLI_PAIRS,
+                         ids=[m.rsplit(".", 1)[-1] for m, _ in CLI_PAIRS])
+def test_cli_flags_superset_of_reference(module_name, ref_rel):
+    """Every flag the reference parser accepts must exist on our parser
+    (CLI contract, SURVEY.md §2.4). Extras (--resume, --debug_nans,
+    --no_bf16, ...) are allowed — they are documented rebuild extensions."""
+    import importlib
+    import re
+
+    mod = importlib.import_module(module_name)
+    ours = {
+        s
+        for a in mod.build_parser()._actions
+        for s in a.option_strings
+        if s.startswith("--")
+    }
+    src = open(os.path.join(REFERENCE_ROOT, ref_rel)).read()
+    ref = set(re.findall(r'add_argument\(\s*[\'"](--[\w\-]+)[\'"]', src))
+    missing = ref - ours
+    assert not missing, f"{module_name} missing reference flags: {missing}"
+
+
 class TestTrainLatentViTCLI:
     def test_end_to_end(self, tmp_path):
         from fer_vit_tpu.train.train_latent_vit import build_parser, main
