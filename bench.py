@@ -62,7 +62,9 @@ def bench_end_to_end(batch: int = BATCH, n_iters: int = ITERS) -> float:
     from fer_vit_tpu.encoders.psp import PSpEncoder, preprocess_images
     from fer_vit_tpu.models import LatentViT
 
-    enc = PSpEncoder(dtype=jnp.bfloat16)
+    # fuse_bn: eval-mode BNs folded into conv weights (exact; parity-tested
+    # in tests/test_folding.py) — removes ~28 HBM scale-shift passes/step.
+    enc = PSpEncoder(dtype=jnp.bfloat16, fuse_bn=True)
     enc_vars = enc.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
     clf = LatentViT(depth=2, dtype=jnp.bfloat16)
     clf_vars = clf.init(jax.random.key(1), jnp.zeros((1, 18, 512)))

@@ -1,0 +1,102 @@
+"""Ahead-of-time BatchNorm folding for frozen (eval-mode) IR-SE encoders.
+
+The pSp/ArcFace trunks run with frozen running stats — every BatchNorm is a
+per-channel affine ``y = a·x + b`` with ``a = γ/√(σ²+ε)``, ``b = β − μ·a``.
+When the BN *follows* a conv (bn2, shortcut_bn, input_bn in
+:mod:`fer_vit_tpu.encoders.irse`), that affine folds exactly into the conv:
+
+    kernel'[..., o] = kernel[..., o] · a[o]        bias'[o] = b[o]
+
+removing one full HBM read+write pass over the activation per BN — ~28
+passes over large tensors per pSp forward (round-1 profiling measured ~20 %
+of step time in fusible elementwise work; reference hot path:
+models_fer_vit/encoder_wrapper.py:184-220).
+
+``bn1`` precedes its conv; folding it into ``conv1`` would require the
+conv's zero padding to become BN(0)-padding (border mismatch), so it stays.
+
+Usage:
+    enc = PSpEncoder(fuse_bn=True, ...)
+    variables = fold_psp_variables(unfused_variables)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-5  # matches the BatchNorm epsilon in irse.py
+
+# (conv name, bn name) pairs foldable inside each bottleneck / trunk scope.
+_FOLD_PAIRS = (
+    ("input_conv", "input_bn"),
+    ("conv2", "bn2"),
+    ("shortcut_conv", "shortcut_bn"),
+)
+
+
+def _fold_one(kernel: np.ndarray, bn_params: Dict[str, Any],
+              bn_stats: Dict[str, Any]):
+    """conv kernel (kh, kw, in, out) + eval BN → (kernel', bias')."""
+    gamma = np.asarray(bn_params["scale"], np.float64)
+    beta = np.asarray(bn_params["bias"], np.float64)
+    mean = np.asarray(bn_stats["mean"], np.float64)
+    var = np.asarray(bn_stats["var"], np.float64)
+    a = gamma / np.sqrt(var + _EPS)
+    kernel = np.asarray(kernel, np.float64) * a  # broadcast over out axis
+    bias = beta - mean * a
+    dt = jnp.float32
+    return jnp.asarray(kernel, dt), jnp.asarray(bias, dt)
+
+
+def fold_backbone_variables(params: Dict, batch_stats: Dict):
+    """Fold every post-conv BN in an IRSEBackbone params/batch_stats pair.
+
+    Returns (params', batch_stats') matching the ``fuse_bn=True`` module
+    structure: folded convs gain a ``bias``, their BNs disappear from both
+    collections; ``bn1`` entries survive untouched.
+    """
+    new_params: Dict[str, Any] = {}
+    new_stats: Dict[str, Any] = {}
+    for scope, sub in params.items():
+        stats_sub = batch_stats.get(scope, {})
+        if isinstance(sub, dict) and any(
+            conv in sub and bn in sub for conv, bn in _FOLD_PAIRS
+        ):
+            # a bottleneck scope (body_i) — recurse one level manually
+            np_sub, ns_sub = fold_backbone_variables(sub, stats_sub)
+            new_params[scope] = np_sub
+            if ns_sub:
+                new_stats[scope] = ns_sub
+            continue
+        new_params[scope] = sub
+        if scope in batch_stats:
+            new_stats[scope] = batch_stats[scope]
+
+    # fold pairs at THIS level
+    for conv, bn in _FOLD_PAIRS:
+        if conv in new_params and bn in new_params:
+            kernel, bias = _fold_one(
+                new_params[conv]["kernel"], new_params.pop(bn),
+                new_stats.pop(bn),
+            )
+            new_params[conv] = {"kernel": kernel, "bias": bias}
+    return new_params, new_stats
+
+
+def fold_psp_variables(variables: Dict) -> Dict:
+    """PSpEncoder variables (fuse_bn=False) → variables for fuse_bn=True."""
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    bb_params, bb_stats = fold_backbone_variables(
+        params["backbone"], stats.get("backbone", {})
+    )
+    params["backbone"] = bb_params
+    out = {k: v for k, v in variables.items()
+           if k not in ("params", "batch_stats")}
+    out["params"] = params
+    stats["backbone"] = bb_stats
+    out["batch_stats"] = stats
+    return out

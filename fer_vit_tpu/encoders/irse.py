@@ -77,9 +77,16 @@ class SEModule(nn.Module):
 
 
 class BottleneckIRSE(nn.Module):
+    """``fuse_bn=True`` is the inference-optimized variant: every BatchNorm
+    that FOLLOWS a conv (bn2, shortcut_bn) is folded into that conv's
+    weights+bias ahead of time (see :mod:`fer_vit_tpu.encoders.folding`),
+    removing one full HBM scale-shift pass per BN. bn1 precedes its conv —
+    folding it would change zero-padding borders — so it always stays."""
+
     in_channels: int
     out_channels: int
     stride: int
+    fuse_bn: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -96,10 +103,11 @@ class BottleneckIRSE(nn.Module):
         else:
             shortcut = nn.Conv(self.out_channels, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
+                               use_bias=self.fuse_bn, dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name="shortcut_conv")(x)
-            shortcut = nn.BatchNorm(name="shortcut_bn", **bn_kw)(shortcut)
+            if not self.fuse_bn:
+                shortcut = nn.BatchNorm(name="shortcut_bn", **bn_kw)(shortcut)
 
         res = nn.BatchNorm(name="bn1", **bn_kw)(x)
         res = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
@@ -109,9 +117,10 @@ class BottleneckIRSE(nn.Module):
                     param_dtype=self.param_dtype, name="prelu")(res)
         res = nn.Conv(self.out_channels, (3, 3),
                       strides=(self.stride, self.stride), padding=1,
-                      use_bias=False, dtype=self.dtype,
+                      use_bias=self.fuse_bn, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="conv2")(res)
-        res = nn.BatchNorm(name="bn2", **bn_kw)(res)
+        if not self.fuse_bn:
+            res = nn.BatchNorm(name="bn2", **bn_kw)(res)
         res = SEModule(self.out_channels, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="se")(res)
         return res + shortcut
@@ -125,6 +134,7 @@ class IRSEBackbone(nn.Module):
 
     plan: Sequence[Tuple[int, int, int]] = IR_SE_50_PLAN
     taps: Tuple[int, int] = (6, 20)
+    fuse_bn: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -133,9 +143,11 @@ class IRSEBackbone(nn.Module):
         bn_kw = dict(use_running_average=True, epsilon=1e-5, momentum=0.9,
                      dtype=self.dtype, param_dtype=self.param_dtype)
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=self.fuse_bn,
+                    dtype=self.dtype,
                     param_dtype=self.param_dtype, name="input_conv")(x)
-        x = nn.BatchNorm(name="input_bn", **bn_kw)(x)
+        if not self.fuse_bn:
+            x = nn.BatchNorm(name="input_bn", **bn_kw)(x)
         x = PReLU(64, dtype=self.dtype, param_dtype=self.param_dtype,
                   name="input_prelu")(x)
 
@@ -145,7 +157,8 @@ class IRSEBackbone(nn.Module):
             for u in range(n_units):
                 stride = 2 if u == 0 else 1
                 cin = in_c if u == 0 else out_c
-                x = BottleneckIRSE(cin, out_c, stride, dtype=self.dtype,
+                x = BottleneckIRSE(cin, out_c, stride, fuse_bn=self.fuse_bn,
+                                   dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name=f"body_{unit_idx}")(x)
                 if unit_idx in self.taps:

@@ -176,6 +176,7 @@ class PSpEncoder(nn.Module):
     style_dim: int = 512
     plan: tuple = IR_SE_50_PLAN
     input_size: int = 256  # head conv depths derive from this (c3 = size/16)
+    fuse_bn: bool = False  # inference: post-conv BNs folded into conv weights
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -189,14 +190,16 @@ class PSpEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, add_latent_avg: bool = True) -> jax.Array:
         c1, c2, c3 = IRSEBackbone(
-            plan=self.plan, taps=self.taps, dtype=self.dtype,
+            plan=self.plan, taps=self.taps, fuse_bn=self.fuse_bn,
+            dtype=self.dtype,
             param_dtype=self.param_dtype, name="backbone",
         )(x)
 
-        lat1 = nn.Conv(512, (1, 1), dtype=self.dtype,
+        fpn_width = self.plan[-1][1]  # 512 for ir_se50
+        lat1 = nn.Conv(fpn_width, (1, 1), dtype=self.dtype,
                        param_dtype=self.param_dtype, name="latlayer1")(c2)
         p2 = _upsample_add(c3, lat1)
-        lat2 = nn.Conv(512, (1, 1), dtype=self.dtype,
+        lat2 = nn.Conv(fpn_width, (1, 1), dtype=self.dtype,
                        param_dtype=self.param_dtype, name="latlayer2")(c1)
         p1 = _upsample_add(p2, lat2)
 
@@ -244,12 +247,25 @@ class EncoderWrapper:
     jits preprocess→encode, exposes encode_image/encode_batch."""
 
     def __init__(self, variables=None, seed: int = 0,
-                 dtype=jnp.bfloat16, encoder: Optional[PSpEncoder] = None):
+                 dtype=jnp.bfloat16, encoder: Optional[PSpEncoder] = None,
+                 fold_bn: bool = True):
+        """``fold_bn``: fold eval-mode BNs into conv weights at load time
+        (exact — parity-tested in tests/test_folding.py; the wrapper is
+        inference-only, matching the reference which never trains pSp)."""
+        if encoder is None and fold_bn:
+            encoder = PSpEncoder(dtype=dtype, fuse_bn=True)
         self.encoder = encoder or PSpEncoder(dtype=dtype)
         if variables is None:
             variables = self.encoder.init(
                 jax.random.key(seed), jnp.zeros((1, 256, 256, 3))
             )
+        elif getattr(self.encoder, "fuse_bn", False):
+            from fer_vit_tpu.encoders.folding import fold_psp_variables
+
+            # converted checkpoints arrive unfused; fold unless already
+            bb = variables["params"]["backbone"]
+            if "input_bn" in bb:
+                variables = fold_psp_variables(variables)
         self.variables = variables
 
         @jax.jit
