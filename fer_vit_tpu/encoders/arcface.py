@@ -58,6 +58,7 @@ class ArcFaceBackbone(nn.Module):
     head. Dropout is inert (the extractor is always frozen/eval)."""
 
     embedding_size: int = 512
+    plan: tuple = IR_SE_50_PLAN
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -72,7 +73,7 @@ class ArcFaceBackbone(nn.Module):
         x = PReLU(64, dtype=self.dtype, param_dtype=self.param_dtype,
                   name="input_prelu")(x)
         unit = 0
-        for in_c, out_c, n in IR_SE_50_PLAN:
+        for in_c, out_c, n in self.plan:
             for u in range(n):
                 x = BottleneckIRSE(
                     in_c if u == 0 else out_c, out_c, 2 if u == 0 else 1,
@@ -107,7 +108,8 @@ class ArcFaceExtractor(nn.Module):
                                name="net")(x)
 
 
-def convert_arcface_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+def convert_arcface_state_dict(sd: Dict[str, np.ndarray],
+                               plan=IR_SE_50_PLAN) -> dict:
     """model_ir_se50.pth state_dict → ArcFaceBackbone variables.
 
     InsightFace Backbone keys: input_layer.{0,1,2}, body.{i}.<res/shortcut>,
@@ -121,7 +123,7 @@ def convert_arcface_state_dict(sd: Dict[str, np.ndarray]) -> dict:
     params["input_bn"], stats["input_bn"] = _bn(sd, "input_layer.1")
     params["input_prelu"] = {"alpha": sd["input_layer.2.weight"]}
     unit = 0
-    for in_c, out_c, n in IR_SE_50_PLAN:
+    for in_c, out_c, n in plan:
         for u in range(n):
             pfx = f"body.{unit}"
             b: dict = {}

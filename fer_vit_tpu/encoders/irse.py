@@ -76,6 +76,67 @@ class SEModule(nn.Module):
         return x * jax.nn.sigmoid(h)
 
 
+class ConvS2ViaSpaceToDepth(nn.Module):
+    """3×3 stride-2 conv computed as a 2×2 stride-1 conv on space-to-depth
+    input — exact (kernel zero-embedded into 2×2 blocks; parity 3e-6) but
+    4× the input-channel width, which un-starves the MXU: profiled on the
+    v5e tunnel chip, the trunk's stride-2 convs run at 24-39 TF/s directly
+    vs ~150 TF/s in this form (PARITY.md round-2 profile). Param layout is
+    identical to ``nn.Conv`` (kernel (3,3,Cin,Cout) + bias), so folded/
+    converted variables load unchanged.
+
+    Derivation: out(i,j) = Σ_{di,dj∈[-1,1]} W[di,dj]·x[2i+di, 2j+dj]. With
+    xp = pad(x, 1) and blocks xs[p,q,(a,b,c)] = xp[2p+a, 2q+b, c], the taps
+    live in blocks (p,q) ∈ {i, i+1}², giving a VALID 2×2 conv over xs with
+    W embedded at (bp, a) s.t. di = 2·bp + a − 1 (and likewise for width).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), self.param_dtype,
+        ).astype(self.dtype)
+        # embed (3,3,cin,cout) → (2[bp],2[bq],2[a],2[b],cin,cout), zeros at
+        # (bp,a)=(1,1) / (bq,b)=(1,1) (di=2 taps don't exist)
+        k2 = jnp.zeros((2, 2, 2, 2, cin, self.features), self.dtype)
+        for bp in range(2):
+            for a in range(2):
+                di = 2 * bp + a - 1
+                if not -1 <= di <= 1:
+                    continue
+                for bq in range(2):
+                    for b in range(2):
+                        dj = 2 * bq + b - 1
+                        if not -1 <= dj <= 1:
+                            continue
+                        k2 = k2.at[bp, bq, a, b].set(kernel[di + 1, dj + 1])
+        # I-dim flattening order (a, b, cin) matches the s2d channels below
+        k2 = k2.reshape(2, 2, 4 * cin, self.features)
+
+        bsz, h, w, _ = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        xs = (xp.reshape(bsz, (h + 2) // 2, 2, (w + 2) // 2, 2, cin)
+              .transpose(0, 1, 3, 2, 4, 5)
+              .reshape(bsz, (h + 2) // 2, (w + 2) // 2, 4 * cin))
+        y = jax.lax.conv_general_dilated(
+            xs, k2, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class BottleneckIRSE(nn.Module):
     """``fuse_bn=True`` is the inference-optimized variant: every BatchNorm
     that FOLLOWS a conv (bn2, shortcut_bn) is folded into that conv's
@@ -87,6 +148,7 @@ class BottleneckIRSE(nn.Module):
     out_channels: int
     stride: int
     fuse_bn: bool = False
+    s2d_stride2: bool = False  # stride-2 conv2 via ConvS2ViaSpaceToDepth
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -115,10 +177,15 @@ class BottleneckIRSE(nn.Module):
                       name="conv1")(res)
         res = PReLU(self.out_channels, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="prelu")(res)
-        res = nn.Conv(self.out_channels, (3, 3),
-                      strides=(self.stride, self.stride), padding=1,
-                      use_bias=self.fuse_bn, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="conv2")(res)
+        if self.s2d_stride2 and self.stride == 2:
+            res = ConvS2ViaSpaceToDepth(
+                self.out_channels, use_bias=self.fuse_bn, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="conv2")(res)
+        else:
+            res = nn.Conv(self.out_channels, (3, 3),
+                          strides=(self.stride, self.stride), padding=1,
+                          use_bias=self.fuse_bn, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="conv2")(res)
         if not self.fuse_bn:
             res = nn.BatchNorm(name="bn2", **bn_kw)(res)
         res = SEModule(self.out_channels, dtype=self.dtype,
@@ -135,6 +202,7 @@ class IRSEBackbone(nn.Module):
     plan: Sequence[Tuple[int, int, int]] = IR_SE_50_PLAN
     taps: Tuple[int, int] = (6, 20)
     fuse_bn: bool = False
+    s2d_stride2: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -158,6 +226,7 @@ class IRSEBackbone(nn.Module):
                 stride = 2 if u == 0 else 1
                 cin = in_c if u == 0 else out_c
                 x = BottleneckIRSE(cin, out_c, stride, fuse_bn=self.fuse_bn,
+                                   s2d_stride2=self.s2d_stride2,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name=f"body_{unit_idx}")(x)

@@ -177,6 +177,7 @@ class PSpEncoder(nn.Module):
     plan: tuple = IR_SE_50_PLAN
     input_size: int = 256  # head conv depths derive from this (c3 = size/16)
     fuse_bn: bool = False  # inference: post-conv BNs folded into conv weights
+    s2d_stride2: bool = False  # inference: trunk stride-2 convs via s2d
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -191,7 +192,7 @@ class PSpEncoder(nn.Module):
     def __call__(self, x: jax.Array, add_latent_avg: bool = True) -> jax.Array:
         c1, c2, c3 = IRSEBackbone(
             plan=self.plan, taps=self.taps, fuse_bn=self.fuse_bn,
-            dtype=self.dtype,
+            s2d_stride2=self.s2d_stride2, dtype=self.dtype,
             param_dtype=self.param_dtype, name="backbone",
         )(x)
 

@@ -85,6 +85,26 @@ class TestBNFolding:
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=1e-3, atol=1e-3)
 
+    def test_s2d_stride2_matches_unfused(self):
+        """The space-to-depth stride-2 conv path (inference perf variant)
+        must be numerically exact vs the plain encoder."""
+        enc = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
+                         n_styles=18)
+        enc_s2d = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
+                             n_styles=18, fuse_bn=True, s2d_stride2=True)
+        variables = _randomize(
+            enc.init(jax.random.key(5), jnp.zeros((1, 32, 32, 3))), seed=6
+        )
+        folded = fold_psp_variables(variables)
+        x = jnp.asarray(
+            np.random.default_rng(7).normal(size=(2, 32, 32, 3)), jnp.float32
+        )
+        with jax.default_matmul_precision("highest"):
+            ref = enc.apply(variables, x)
+            got = enc_s2d.apply(folded, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+
     def test_no_batchnorm_after_convs_in_fused_tree(self):
         enc_fused = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
                                fuse_bn=True)

@@ -1,0 +1,203 @@
+"""Independent PyTorch reimplementations of the remaining pretrained
+components — ArcFace IR-SE50 Backbone, LPIPS(alex), timm ViT — used ONLY as
+test/parity oracles. Each emits a state_dict with the upstream key naming
+(InsightFace / lpips-package / timm) so the converters and JAX ports can be
+verified numerically without the real repos or checkpoints."""
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from tests.torch_psp_ref import PLAN, BottleneckIRSE
+
+
+class ArcFaceBackboneRef(nn.Module):
+    """InsightFace ``Backbone(input_size=112, mode='ir_se')`` naming:
+    input_layer.{0,1,2}, body.{i}.*, output_layer.{0:BN2d,3:Linear,4:BN1d}."""
+
+    def __init__(self, plan=None, embedding_size=512, feat_hw=7):
+        super().__init__()
+        plan = plan or PLAN
+        self.input_layer = nn.Sequential(
+            nn.Conv2d(3, 64, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(64),
+            nn.PReLU(64),
+        )
+        units = []
+        for in_c, out_c, n in plan:
+            for u in range(n):
+                units.append(BottleneckIRSE(in_c if u == 0 else out_c,
+                                            out_c, 2 if u == 0 else 1))
+        self.body = nn.Sequential(*units)
+        out_ch = plan[-1][1]
+        self.output_layer = nn.Sequential(
+            nn.BatchNorm2d(out_ch),
+            nn.Dropout(0.0),
+            nn.Flatten(),
+            nn.Linear(out_ch * feat_hw * feat_hw, embedding_size),
+            nn.BatchNorm1d(embedding_size),
+        )
+
+    def forward(self, x):
+        return self.output_layer(self.body(self.input_layer(x)))
+
+
+_ALEX_CFG = [
+    (3, 64, 11, 4, 2, True),
+    (64, 192, 5, 1, 2, True),
+    (192, 384, 3, 1, 1, False),
+    (384, 256, 3, 1, 1, False),
+    (256, 256, 3, 1, 1, False),
+]
+
+
+class AlexFeaturesRef(nn.Module):
+    """torchvision ``alexnet().features`` naming: features.{0,3,6,8,10}."""
+
+    def __init__(self):
+        super().__init__()
+        layers = []
+        for in_c, out_c, k, s, p, pool in _ALEX_CFG:
+            layers.append(nn.Conv2d(in_c, out_c, k, s, p))
+            layers.append(nn.ReLU(inplace=False))
+            if pool:
+                layers.append(nn.MaxPool2d(3, 2))
+        self.features = nn.Sequential(*layers)
+        # indices of ReLU outputs (the 5 lpips slices)
+        self.relu_idx = [i for i, m in enumerate(self.features)
+                         if isinstance(m, nn.ReLU)]
+
+    def forward(self, x):
+        feats = []
+        for i, m in enumerate(self.features):
+            x = m(x)
+            if i in self.relu_idx:
+                feats.append(x)
+        return feats
+
+
+class LPIPSRef(nn.Module):
+    """lpips-package semantics with ``lin{i}.model.1.weight`` naming."""
+
+    SHIFT = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    SCALE = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def __init__(self, alex: AlexFeaturesRef):
+        super().__init__()
+        self.alex = alex
+        chans = [64, 192, 384, 256, 256]
+        self.lins = nn.ModuleList()
+        for c in chans:
+            lin = nn.Sequential(nn.Identity(),
+                                nn.Conv2d(c, 1, 1, bias=False))
+            with torch.no_grad():
+                lin[1].weight.abs_()  # lpips keeps lins >= 0
+            self.lins.append(lin)
+
+    def lin_state_dict(self):
+        return {f"lin{i}.model.1.weight": l[1].weight.detach()
+                for i, l in enumerate(self.lins)}
+
+    @staticmethod
+    def _unit(t):
+        n = torch.sqrt(torch.sum(t ** 2, dim=1, keepdim=True))
+        return t / torch.clamp(n, min=1e-10)
+
+    def forward(self, x, y):
+        xn = (x - self.SHIFT) / self.SCALE
+        yn = (y - self.SHIFT) / self.SCALE
+        total = 0.0
+        for fx, fy, lin in zip(self.alex(xn), self.alex(yn), self.lins):
+            d = (self._unit(fx) - self._unit(fy)) ** 2
+            total = total + lin(d).mean(dim=(1, 2, 3)).mean()
+        return total
+
+
+class _TimmAttn(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, D = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.heads, D // self.heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4)
+        a = (q @ k.transpose(-2, -1)) * (D // self.heads) ** -0.5
+        a = a.softmax(dim=-1)
+        out = (a @ v).transpose(1, 2).reshape(B, N, D)
+        return self.proj(out)
+
+
+class _TimmBlock(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _TimmAttn(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        hidden = int(dim * mlp_ratio)
+        self.mlp = nn.ModuleDict({})  # placeholder for naming below
+        self.mlp_fc1 = nn.Linear(dim, hidden)
+        self.mlp_fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        h = self.mlp_fc2(F.gelu(self.mlp_fc1(self.norm2(x)), approximate="none"))
+        return x + h
+
+
+class TimmViTRef(nn.Module):
+    """Pre-norm ViT with timm state-dict naming (patch_embed.proj, cls_token,
+    pos_embed, blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2},
+    norm, head)."""
+
+    def __init__(self, img_size=224, patch=16, dim=192, depth=2, heads=3,
+                 num_classes=7):
+        super().__init__()
+        self.patch_embed = nn.ModuleDict({})
+        self.patch_proj = nn.Conv2d(3, dim, patch, patch)
+        n = (img_size // patch) ** 2
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
+        self.blocks = nn.ModuleList(
+            [_TimmBlock(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, num_classes)
+
+    def timm_state_dict(self):
+        sd = {}
+        sd["patch_embed.proj.weight"] = self.patch_proj.weight.detach()
+        sd["patch_embed.proj.bias"] = self.patch_proj.bias.detach()
+        sd["cls_token"] = self.cls_token.detach()
+        sd["pos_embed"] = self.pos_embed.detach()
+        for i, b in enumerate(self.blocks):
+            p = f"blocks.{i}"
+            sd[f"{p}.norm1.weight"] = b.norm1.weight.detach()
+            sd[f"{p}.norm1.bias"] = b.norm1.bias.detach()
+            sd[f"{p}.attn.qkv.weight"] = b.attn.qkv.weight.detach()
+            sd[f"{p}.attn.qkv.bias"] = b.attn.qkv.bias.detach()
+            sd[f"{p}.attn.proj.weight"] = b.attn.proj.weight.detach()
+            sd[f"{p}.attn.proj.bias"] = b.attn.proj.bias.detach()
+            sd[f"{p}.norm2.weight"] = b.norm2.weight.detach()
+            sd[f"{p}.norm2.bias"] = b.norm2.bias.detach()
+            sd[f"{p}.mlp.fc1.weight"] = b.mlp_fc1.weight.detach()
+            sd[f"{p}.mlp.fc1.bias"] = b.mlp_fc1.bias.detach()
+            sd[f"{p}.mlp.fc2.weight"] = b.mlp_fc2.weight.detach()
+            sd[f"{p}.mlp.fc2.bias"] = b.mlp_fc2.bias.detach()
+        sd["norm.weight"] = self.norm.weight.detach()
+        sd["norm.bias"] = self.norm.bias.detach()
+        sd["head.weight"] = self.head.weight.detach()
+        sd["head.bias"] = self.head.bias.detach()
+        return sd
+
+    def forward(self, x):
+        B = x.shape[0]
+        x = self.patch_proj(x).flatten(2).transpose(1, 2)
+        cls = self.cls_token.expand(B, -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for b in self.blocks:
+            x = b(x)
+        return self.head(self.norm(x)[:, 0])
