@@ -72,10 +72,20 @@ def _decode_batches(
     """Background-thread decoder yielding padded (images, labels, paths, n)."""
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
+    from fer_vit_tpu.data import native_decode
+
+    use_native = native_decode.available()
+
     def worker():
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]
-            imgs = np.stack([_load_image(p, size) for p, _ in chunk])
+            if use_native:
+                # C++ thread-pool decode (native/decode.cpp): whole batch in
+                # one call, ±1 gray level vs the PIL path (parity-tested)
+                imgs = native_decode.decode_batch(
+                    [p for p, _ in chunk], size).astype(np.float32)
+            else:
+                imgs = np.stack([_load_image(p, size) for p, _ in chunk])
             labels = np.asarray([l for _, l in chunk], np.int32)
             n = len(chunk)
             if n < batch_size:  # pad to the jitted batch shape

@@ -71,10 +71,13 @@ class ImageStore:
         return ImageStore(self.images[indices], self.labels[indices])
 
     @classmethod
-    def load(cls, data_root: str, img_size: int = 224) -> "ImageStore":
-        """Decode a class-dir image tree once into a uint8 array."""
-        from PIL import Image
+    def load(cls, data_root: str, img_size: int = 224,
+             use_native: Optional[bool] = None) -> "ImageStore":
+        """Decode a class-dir image tree once into a uint8 array.
 
+        Decodes with the native C++ thread-pool decoder
+        (:mod:`fer_vit_tpu.data.native_decode`) when it is available
+        (±1 gray level vs PIL, parity-tested), else per-file PIL."""
         paths: List[Tuple[str, int]] = []
         for cls_name, label in sorted(EMOTION_TO_INDEX.items(),
                                       key=lambda kv: kv[1]):
@@ -87,18 +90,29 @@ class ImageStore:
         if not paths:
             raise ValueError(f"No images found in {data_root}")
 
-        images = np.zeros((len(paths), img_size, img_size, 3), np.uint8)
-        labels = np.zeros(len(paths), np.int32)
-        for i, (p, label) in enumerate(paths):
-            labels[i] = label
-            try:
-                with Image.open(p) as im:
-                    im = im.convert("RGB").resize((img_size, img_size),
-                                                  Image.BILINEAR)
-                    images[i] = np.asarray(im, np.uint8)
-            except Exception:
-                pass  # black-image fallback (reference :125-130)
-        print(f"Loaded {len(paths)} images from {data_root}")
+        labels = np.asarray([label for _, label in paths], np.int32)
+
+        from fer_vit_tpu.data import native_decode
+
+        if use_native is None:
+            use_native = native_decode.available()
+        if use_native:
+            images = native_decode.decode_batch(
+                [p for p, _ in paths], img_size)
+        else:
+            from PIL import Image
+
+            images = np.zeros((len(paths), img_size, img_size, 3), np.uint8)
+            for i, (p, _) in enumerate(paths):
+                try:
+                    with Image.open(p) as im:
+                        im = im.convert("RGB").resize(
+                            (img_size, img_size), Image.BILINEAR)
+                        images[i] = np.asarray(im, np.uint8)
+                except Exception:
+                    pass  # black-image fallback (reference :125-130)
+        print(f"Loaded {len(paths)} images from {data_root}"
+              f" ({'native' if use_native else 'PIL'} decode)")
         return cls(images, labels)
 
 

@@ -1,0 +1,79 @@
+"""Native C++ batch decoder (native/decode.cpp) parity vs PIL."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fer_vit_tpu.data import native_decode as nd
+
+pytestmark = pytest.mark.skipif(
+    not nd.available(), reason="native decoder toolchain unavailable")
+
+
+def _write_images(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (size, fmt) in enumerate(
+            [(48, "PNG"), (48, "JPEG"), (100, "PNG"), (300, "JPEG"),
+             (256, "PNG"), (64, "PNG")]):
+        base = rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)
+        img = Image.fromarray(base).resize((size, size), Image.BILINEAR)
+        p = str(tmp_path / f"im{i}.{fmt.lower()}")
+        img.save(p, fmt)
+        paths.append(p)
+    # grayscale input (the reference's grayscale→RGB case)
+    g = Image.fromarray(rng.integers(0, 255, size=(48, 48), dtype=np.uint8),
+                        mode="L")
+    p = str(tmp_path / "gray.png")
+    g.save(p)
+    paths.append(p)
+    return paths
+
+
+def test_matches_pil_within_one_level(tmp_path):
+    from PIL import Image
+
+    paths = _write_images(tmp_path)
+    out = nd.decode_batch(paths, 256)
+    assert out.shape == (len(paths), 256, 256, 3)
+    for i, p in enumerate(paths):
+        with Image.open(p) as im:
+            ref = np.asarray(im.convert("RGB").resize((256, 256),
+                                                      Image.BILINEAR),
+                             np.uint8)
+        diff = np.abs(out[i].astype(int) - ref.astype(int))
+        assert diff.max() <= 2, (p, diff.max())
+
+
+def test_no_resize_is_exact(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    p = str(tmp_path / "exact.png")
+    Image.fromarray(arr).save(p)
+    out = nd.decode_batch([p], 64)
+    np.testing.assert_array_equal(out[0], arr)
+
+
+def test_corrupt_file_black_fallback(tmp_path):
+    p = str(tmp_path / "corrupt.jpg")
+    with open(p, "wb") as f:
+        f.write(b"\xff\xd8not really a jpeg")
+    out = nd.decode_batch([p], 32)
+    assert out.sum() == 0
+
+
+def test_image_store_native_matches_pil(tmp_path):
+    from fer_vit_tpu.data.image_pipeline import ImageStore
+    from tests.test_image_pipeline import _make_image_tree
+
+    _make_image_tree(tmp_path)
+    s_native = ImageStore.load(str(tmp_path), img_size=32, use_native=True)
+    s_pil = ImageStore.load(str(tmp_path), img_size=32, use_native=False)
+    np.testing.assert_array_equal(s_native.labels, s_pil.labels)
+    diff = np.abs(s_native.images.astype(int) - s_pil.images.astype(int))
+    assert diff.max() <= 2
