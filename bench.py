@@ -64,7 +64,13 @@ def bench_end_to_end(batch: int = BATCH, n_iters: int = ITERS) -> float:
 
     # fuse_bn: eval-mode BNs folded into conv weights (exact; parity-tested
     # in tests/test_folding.py) — removes ~28 HBM scale-shift passes/step.
-    enc = PSpEncoder(dtype=jnp.bfloat16, fuse_bn=True)
+    # s2_mode stays "direct": both exact stride-2 rewrites LOSE end-to-end
+    # on this chip (direct 1036 → s2d 901 → poly 692 img/s) — XLA's
+    # batch-minor layouts make every graph-level re-expression materialize
+    # extra passes over the multi-GB early-trunk activations (PARITY.md
+    # round-2 measurements).
+    enc = PSpEncoder(dtype=jnp.bfloat16, fuse_bn=True,
+                     s2_mode=os.environ.get("BENCH_S2_MODE", "direct"))
     enc_vars = enc.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
     clf = LatentViT(depth=2, dtype=jnp.bfloat16)
     clf_vars = clf.init(jax.random.key(1), jnp.zeros((1, 18, 512)))

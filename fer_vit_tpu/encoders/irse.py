@@ -137,6 +137,62 @@ class ConvS2ViaSpaceToDepth(nn.Module):
         return y
 
 
+class ConvS2Polyphase(nn.Module):
+    """3×3 stride-2 conv as four stride-1 convs on the 2×2 phase planes.
+
+    Exact tap-by-tap decomposition (no FLOP overhead, unlike s2d's 1.78×):
+    ``out(i,j) = Σ W[1+di,1+dj]·x[2i+di,2j+dj]`` splits by the parity of the
+    tap offsets into 1×1 / 1×2 / 2×1 / 2×2 VALID convs over the four phase
+    slices ``x[a::2, b::2]``. Why: profiled on the v5e chip, XLA's direct
+    stride-2 trunk convs run at 21-27 TF/s in-graph (batch-minor layouts)
+    while the equivalent stride-1 convs hit 146-190 TF/s; the phase slicing
+    is elementwise and fuses into the surrounding passes. Param layout is
+    identical to ``nn.Conv`` (kernel (3,3,Cin,Cout) + bias) so folded /
+    converted variables load unchanged.
+
+    Numerics: each phase conv accumulates in the MXU's f32; the three
+    cross-phase adds happen in the compute dtype (one extra bf16 rounding
+    vs the direct conv — parity-tested in tests/test_folding.py).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), self.param_dtype,
+        ).astype(self.dtype)
+        assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, x.shape
+        xe, xo = x[:, 0::2], x[:, 1::2]
+        xee, xeo = xe[:, :, 0::2], xe[:, :, 1::2]
+        xoe, xoo = xo[:, :, 0::2], xo[:, :, 1::2]
+        dn = ("NHWC", "HWIO", "NHWC")
+
+        def conv(t, kk, pad):
+            return jax.lax.conv_general_dilated(
+                t, kk, (1, 1), pad, dimension_numbers=dn)
+
+        # tap (0,0) / (0,±1) / (±1,0) / (±1,±1) groups; pad (1,0) supplies
+        # the i−1 / j−1 zero rows at the top/left borders.
+        y = conv(xee, k[1:2, 1:2], [(0, 0), (0, 0)])
+        y = y + conv(xeo, k[1:2, 0::2], [(0, 0), (1, 0)])
+        y = y + conv(xoe, k[0::2, 1:2], [(1, 0), (0, 0)])
+        y = y + conv(xoo, k[0::2, 0::2], [(1, 0), (1, 0)])
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+_S2_MODES = ("direct", "s2d", "poly")
+
+
 class BottleneckIRSE(nn.Module):
     """``fuse_bn=True`` is the inference-optimized variant: every BatchNorm
     that FOLLOWS a conv (bn2, shortcut_bn) is folded into that conv's
@@ -148,7 +204,10 @@ class BottleneckIRSE(nn.Module):
     out_channels: int
     stride: int
     fuse_bn: bool = False
-    s2d_stride2: bool = False  # stride-2 conv2 via ConvS2ViaSpaceToDepth
+    # stride-2 conv2 strategy: "direct" (lax.conv stride 2), "s2d"
+    # (space-to-depth), "poly" (polyphase — the fast path on v5e, see
+    # ConvS2Polyphase)
+    s2_mode: str = "direct"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -177,8 +236,11 @@ class BottleneckIRSE(nn.Module):
                       name="conv1")(res)
         res = PReLU(self.out_channels, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="prelu")(res)
-        if self.s2d_stride2 and self.stride == 2:
-            res = ConvS2ViaSpaceToDepth(
+        assert self.s2_mode in _S2_MODES, self.s2_mode
+        if self.s2_mode != "direct" and self.stride == 2:
+            conv2_cls = (ConvS2ViaSpaceToDepth if self.s2_mode == "s2d"
+                         else ConvS2Polyphase)
+            res = conv2_cls(
                 self.out_channels, use_bias=self.fuse_bn, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="conv2")(res)
         else:
@@ -202,7 +264,7 @@ class IRSEBackbone(nn.Module):
     plan: Sequence[Tuple[int, int, int]] = IR_SE_50_PLAN
     taps: Tuple[int, int] = (6, 20)
     fuse_bn: bool = False
-    s2d_stride2: bool = False
+    s2_mode: str = "direct"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -226,7 +288,7 @@ class IRSEBackbone(nn.Module):
                 stride = 2 if u == 0 else 1
                 cin = in_c if u == 0 else out_c
                 x = BottleneckIRSE(cin, out_c, stride, fuse_bn=self.fuse_bn,
-                                   s2d_stride2=self.s2d_stride2,
+                                   s2_mode=self.s2_mode,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name=f"body_{unit_idx}")(x)

@@ -177,7 +177,7 @@ class PSpEncoder(nn.Module):
     plan: tuple = IR_SE_50_PLAN
     input_size: int = 256  # head conv depths derive from this (c3 = size/16)
     fuse_bn: bool = False  # inference: post-conv BNs folded into conv weights
-    s2d_stride2: bool = False  # inference: trunk stride-2 convs via s2d
+    s2_mode: str = "direct"  # trunk stride-2 convs: direct | s2d | poly
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -192,7 +192,7 @@ class PSpEncoder(nn.Module):
     def __call__(self, x: jax.Array, add_latent_avg: bool = True) -> jax.Array:
         c1, c2, c3 = IRSEBackbone(
             plan=self.plan, taps=self.taps, fuse_bn=self.fuse_bn,
-            s2d_stride2=self.s2d_stride2, dtype=self.dtype,
+            s2_mode=self.s2_mode, dtype=self.dtype,
             param_dtype=self.param_dtype, name="backbone",
         )(x)
 
@@ -249,12 +249,15 @@ class EncoderWrapper:
 
     def __init__(self, variables=None, seed: int = 0,
                  dtype=jnp.bfloat16, encoder: Optional[PSpEncoder] = None,
-                 fold_bn: bool = True):
+                 fold_bn: bool = True, s2_mode: str = "direct"):
         """``fold_bn``: fold eval-mode BNs into conv weights at load time
         (exact — parity-tested in tests/test_folding.py; the wrapper is
-        inference-only, matching the reference which never trains pSp)."""
+        inference-only, matching the reference which never trains pSp).
+        ``s2_mode``: stride-2 trunk conv strategy — "direct" measures
+        fastest end-to-end on v5e (the exact "s2d"/"poly" rewrites lose to
+        XLA's layout choices; PARITY.md round-2 measurements)."""
         if encoder is None and fold_bn:
-            encoder = PSpEncoder(dtype=dtype, fuse_bn=True)
+            encoder = PSpEncoder(dtype=dtype, fuse_bn=True, s2_mode=s2_mode)
         self.encoder = encoder or PSpEncoder(dtype=dtype)
         if variables is None:
             variables = self.encoder.init(

@@ -85,13 +85,12 @@ class TestBNFolding:
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=1e-3, atol=1e-3)
 
-    def test_s2d_stride2_matches_unfused(self):
-        """The space-to-depth stride-2 conv path (inference perf variant)
-        must be numerically exact vs the plain encoder."""
+    def test_s2_modes_match_unfused(self):
+        """Both stride-2 conv rewrites (space-to-depth and polyphase — the
+        inference perf variants) must be numerically exact vs the plain
+        encoder, loading the same folded variables."""
         enc = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
                          n_styles=18)
-        enc_s2d = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
-                             n_styles=18, fuse_bn=True, s2d_stride2=True)
         variables = _randomize(
             enc.init(jax.random.key(5), jnp.zeros((1, 32, 32, 3))), seed=6
         )
@@ -101,9 +100,14 @@ class TestBNFolding:
         )
         with jax.default_matmul_precision("highest"):
             ref = enc.apply(variables, x)
-            got = enc_s2d.apply(folded, x)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=1e-3, atol=1e-3)
+            for mode in ("s2d", "poly"):
+                enc_alt = PSpEncoder(plan=TINY_PLAN, input_size=32,
+                                     style_dim=16, n_styles=18,
+                                     fuse_bn=True, s2_mode=mode)
+                got = enc_alt.apply(folded, x)
+                np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                           rtol=1e-3, atol=1e-3,
+                                           err_msg=mode)
 
     def test_no_batchnorm_after_convs_in_fused_tree(self):
         enc_fused = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
