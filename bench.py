@@ -69,8 +69,13 @@ def bench_end_to_end(batch: int = BATCH, n_iters: int = ITERS) -> float:
     # batch-minor layouts make every graph-level re-expression materialize
     # extra passes over the multi-GB early-trunk activations (PARITY.md
     # round-2 measurements).
+    # fold_bn1 (pre-conv bn1 affines folded fully into conv1 kernels +
+    # border-exact bias map; exact, tests/test_folding.py) measured
+    # wall-clock NEUTRAL (1029.8 vs 1035.6 img/s) — XLA already absorbs
+    # the affine into its producer fusions — so it stays off here.
     enc = PSpEncoder(dtype=jnp.bfloat16, fuse_bn=True,
-                     s2_mode=os.environ.get("BENCH_S2_MODE", "direct"))
+                     s2_mode=os.environ.get("BENCH_S2_MODE", "direct"),
+                     fold_bn1=os.environ.get("BENCH_FOLD_BN1", "0") == "1")
     enc_vars = enc.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
     clf = LatentViT(depth=2, dtype=jnp.bfloat16)
     clf_vars = clf.init(jax.random.key(1), jnp.zeros((1, 18, 512)))

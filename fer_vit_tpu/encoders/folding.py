@@ -12,12 +12,21 @@ passes over large tensors per pSp forward (round-1 profiling measured ~20 %
 of step time in fusible elementwise work; reference hot path:
 models_fer_vit/encoder_wrapper.py:184-220).
 
-``bn1`` precedes its conv; folding it into ``conv1`` would require the
-conv's zero padding to become BN(0)-padding (border mismatch), so it stays.
+``bn1`` precedes its conv. Folding it is still exact, but needs care at
+the borders: ``conv1(a1⊙x + b1) = conv1'(x) + bmap`` where ``conv1'``
+scales the *input*-channel axis by ``a1`` and ``bmap`` is conv1 applied
+to the constant ``b1`` image — constant in the interior, different on the
+1-px border ring where zero padding removes taps. ``fold_bn1=True``
+applies this (the module rebuilds ``bmap`` from the retained ``b1`` via a
+tiny 9-term outer-product einsum — see ``irse.BottleneckIRSE``),
+eliminating the last full elementwise HBM pass per trunk unit.
 
 Usage:
     enc = PSpEncoder(fuse_bn=True, ...)
     variables = fold_psp_variables(unfused_variables)
+
+    enc = PSpEncoder(fuse_bn=True, fold_bn1=True, ...)
+    variables = fold_psp_variables(unfused_variables, fold_bn1=True)
 """
 
 from __future__ import annotations
@@ -51,12 +60,17 @@ def _fold_one(kernel: np.ndarray, bn_params: Dict[str, Any],
     return jnp.asarray(kernel, dt), jnp.asarray(bias, dt)
 
 
-def fold_backbone_variables(params: Dict, batch_stats: Dict):
+def fold_backbone_variables(params: Dict, batch_stats: Dict,
+                            fold_bn1: bool = False):
     """Fold every post-conv BN in an IRSEBackbone params/batch_stats pair.
 
     Returns (params', batch_stats') matching the ``fuse_bn=True`` module
     structure: folded convs gain a ``bias``, their BNs disappear from both
-    collections; ``bn1`` entries survive untouched.
+    collections. With ``fold_bn1=False`` the pre-conv ``bn1`` entries
+    survive untouched; with ``fold_bn1=True`` each ``bn1`` becomes its
+    affine offset only (``{"bias": b1}``) and ``conv1``'s kernel absorbs
+    the affine scale on the input-channel axis (``fold_bn1=True`` module
+    structure).
     """
     new_params: Dict[str, Any] = {}
     new_stats: Dict[str, Any] = {}
@@ -66,7 +80,8 @@ def fold_backbone_variables(params: Dict, batch_stats: Dict):
             conv in sub and bn in sub for conv, bn in _FOLD_PAIRS
         ):
             # a bottleneck scope (body_i) — recurse one level manually
-            np_sub, ns_sub = fold_backbone_variables(sub, stats_sub)
+            np_sub, ns_sub = fold_backbone_variables(sub, stats_sub,
+                                                     fold_bn1=fold_bn1)
             new_params[scope] = np_sub
             if ns_sub:
                 new_stats[scope] = ns_sub
@@ -83,15 +98,36 @@ def fold_backbone_variables(params: Dict, batch_stats: Dict):
                 new_stats.pop(bn),
             )
             new_params[conv] = {"kernel": kernel, "bias": bias}
+
+    if fold_bn1 and "bn1" in new_params and "conv1" in new_params:
+        bn_p, bn_s = new_params.pop("bn1"), new_stats.pop("bn1")
+        gamma = np.asarray(bn_p["scale"], np.float64)
+        beta = np.asarray(bn_p["bias"], np.float64)
+        mean = np.asarray(bn_s["mean"], np.float64)
+        var = np.asarray(bn_s["var"], np.float64)
+        a1 = gamma / np.sqrt(var + _EPS)
+        b1 = beta - mean * a1
+        kernel = np.asarray(new_params["conv1"]["kernel"], np.float64)
+        # input-channel axis this time: conv1(a1⊙x) = conv1'(x)
+        new_params["conv1"] = {
+            "kernel": jnp.asarray(kernel * a1[None, None, :, None],
+                                  jnp.float32)}
+        # the module rebuilds the border bias map from the FOLDED kernel
+        # (conv1'(b̂·1) with b̂ = b1/a1 equals conv1(b1·1) exactly), so
+        # store the a1-compensated offset. |γ| ≥ tiny guard: a trained
+        # BN's γ is never exactly 0; clamp to keep the division finite.
+        a_safe = np.where(np.abs(a1) < 1e-12, 1e-12, a1)
+        new_params["bn1"] = {"bias": jnp.asarray(b1 / a_safe, jnp.float32)}
     return new_params, new_stats
 
 
-def fold_psp_variables(variables: Dict) -> Dict:
-    """PSpEncoder variables (fuse_bn=False) → variables for fuse_bn=True."""
+def fold_psp_variables(variables: Dict, fold_bn1: bool = False) -> Dict:
+    """PSpEncoder variables (fuse_bn=False) → variables for fuse_bn=True
+    (and, with ``fold_bn1=True``, for ``fold_bn1=True``)."""
     params = dict(variables["params"])
     stats = dict(variables.get("batch_stats", {}))
     bb_params, bb_stats = fold_backbone_variables(
-        params["backbone"], stats.get("backbone", {})
+        params["backbone"], stats.get("backbone", {}), fold_bn1=fold_bn1
     )
     params["backbone"] = bb_params
     out = {k: v for k, v in variables.items()

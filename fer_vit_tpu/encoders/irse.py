@@ -22,11 +22,13 @@ a couple of VPU/MXU ops under XLA. bf16 compute via the dtype arg.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from fer_vit_tpu.ops.fused_irse_unit import fused_irse_residual
 
 # (in_channels, out_channels, num_units) per stage; stride 2 on first unit.
 IR_SE_50_PLAN: Tuple[Tuple[int, int, int], ...] = (
@@ -64,8 +66,10 @@ class SEModule(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        squeezed = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,C)
+    def __call__(self, x: jax.Array,
+                 squeezed: Optional[jax.Array] = None) -> jax.Array:
+        if squeezed is None:
+            squeezed = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,C)
         h = nn.Conv(self.channels // self.reduction, (1, 1), use_bias=False,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="fc1")(squeezed)
@@ -193,6 +197,88 @@ class ConvS2Polyphase(nn.Module):
 _S2_MODES = ("direct", "s2d", "poly")
 
 
+class _BNParams(nn.Module):
+    """Parameter-only stand-in for ``nn.BatchNorm`` — declares the exact
+    same variables (params scale/bias, batch_stats mean/var) without
+    executing the normalization, so the fused-kernel path shares
+    checkpoints with the standard path bit-for-bit."""
+
+    channels: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.channels,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.channels,), self.param_dtype)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.channels,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.channels,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv`` (kernel [+ bias])."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape, self.param_dtype)
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.shape[-1],), self.param_dtype)
+        return kernel, bias
+
+
+class _PReLUParams(nn.Module):
+    """Parameter-only stand-in for :class:`PReLU`."""
+
+    channels: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param("alpha", lambda k, s, d: jnp.full(s, 0.25, d),
+                          (self.channels,), self.param_dtype)
+
+
+class _BiasParams(nn.Module):
+    """Single per-channel offset — what remains of ``bn1`` after full
+    folding (its scale lives in conv1's kernel; see folding.py)."""
+
+    channels: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param("bias", nn.initializers.zeros_init(),
+                          (self.channels,), self.param_dtype)
+
+
+def _bn1_bias_map(w1: jax.Array, b1: jax.Array, H: int, W: int) -> jax.Array:
+    """conv1 applied to the constant ``b1`` image with zero padding —
+    ``conv1(a1⊙x + b1) = conv1'(x) + bmap``. Constant in the interior;
+    the 1-px border ring loses the taps that fall outside the image, so
+    bmap is the 9-term sum of separable tap-validity masks (an einsum
+    over tiny operands that XLA folds into the conv epilogue)."""
+    f32 = jnp.float32
+    s = jnp.einsum("abic,i->abc", w1.astype(f32), b1.astype(f32))  # (3,3,C)
+    yi = jnp.arange(H)
+    xi = jnp.arange(W)
+    ones_y = jnp.ones((H,), f32)
+    ones_x = jnp.ones((W,), f32)
+    R = jnp.stack([(yi >= 1).astype(f32), ones_y, (yi <= H - 2).astype(f32)])
+    C = jnp.stack([(xi >= 1).astype(f32), ones_x, (xi <= W - 2).astype(f32)])
+    return jnp.einsum("ay,bx,abc->yxc", R, C, s)  # (H, W, C)
+
+
 class BottleneckIRSE(nn.Module):
     """``fuse_bn=True`` is the inference-optimized variant: every BatchNorm
     that FOLLOWS a conv (bn2, shortcut_bn) is folded into that conv's
@@ -205,11 +291,34 @@ class BottleneckIRSE(nn.Module):
     stride: int
     fuse_bn: bool = False
     # stride-2 conv2 strategy: "direct" (lax.conv stride 2), "s2d"
-    # (space-to-depth), "poly" (polyphase — the fast path on v5e, see
-    # ConvS2Polyphase)
+    # (space-to-depth), "poly" (polyphase) — both rewrites measured SLOWER
+    # end-to-end than direct on v5e (PARITY.md); kept for study.
     s2_mode: str = "direct"
+    # Route the residual branch (bn1→conv1→PReLU→conv2→SE-squeeze) through
+    # the single Pallas kernel (fer_vit_tpu/ops/fused_irse_unit.py).
+    # Requires fuse_bn; on hardware only units with Cin % 128 == 0 (and,
+    # for stride 2, Cout % 128 == 0) are eligible — others silently use
+    # the standard XLA path. Variable names/shapes are IDENTICAL either
+    # way, so checkpoints are interchangeable.
+    fused_residual: bool = False
+    fused_interpret: bool = False  # run the kernel in interpret mode (tests)
+    # Full bn1 folding: conv1's kernel pre-scaled by bn1's affine slope
+    # (input-channel axis) and the offset applied as a border-exact bias
+    # map AFTER conv1 — removes the last full elementwise HBM pass per
+    # unit. Requires fuse_bn; variables via
+    # folding.fold_psp_variables(..., fold_bn1=True). Exclusive with
+    # fused_residual (which consumes the intact bn1 variables).
+    fold_bn1: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+
+    def _fused_eligible(self) -> bool:
+        if not (self.fused_residual and self.fuse_bn):
+            return False
+        if self.fused_interpret:
+            return True
+        return self.in_channels % 128 == 0 and (
+            self.stride == 1 or self.out_channels % 128 == 0)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -230,10 +339,49 @@ class BottleneckIRSE(nn.Module):
             if not self.fuse_bn:
                 shortcut = nn.BatchNorm(name="shortcut_bn", **bn_kw)(shortcut)
 
-        res = nn.BatchNorm(name="bn1", **bn_kw)(x)
-        res = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
-                      dtype=self.dtype, param_dtype=self.param_dtype,
-                      name="conv1")(res)
+        if self._fused_eligible():
+            scale, bias, mean, var = _BNParams(
+                self.in_channels, param_dtype=self.param_dtype,
+                name="bn1")()
+            a1 = scale.astype(jnp.float32) * jax.lax.rsqrt(var + 1e-5)
+            b1 = bias.astype(jnp.float32) - mean * a1
+            w1, _ = _ConvParams(
+                (3, 3, self.in_channels, self.out_channels), False,
+                param_dtype=self.param_dtype, name="conv1")()
+            alpha = _PReLUParams(self.out_channels,
+                                 param_dtype=self.param_dtype, name="prelu")()
+            w2, b2 = _ConvParams(
+                (3, 3, self.out_channels, self.out_channels), True,
+                param_dtype=self.param_dtype, name="conv2")()
+            res, sums = fused_irse_residual(
+                x.astype(self.dtype), a1, b1, w1, alpha, w2, b2,
+                stride=self.stride, interpret=self.fused_interpret)
+            hw = res.shape[1] * res.shape[2]
+            squeezed = (sums / hw).reshape(
+                res.shape[0], 1, 1, self.out_channels).astype(self.dtype)
+            res = SEModule(self.out_channels, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="se")(
+                               res, squeezed=squeezed)
+            return res + shortcut
+
+        if self.fold_bn1:
+            assert self.fuse_bn and not self.fused_residual
+            w1, _ = _ConvParams(
+                (3, 3, self.in_channels, self.out_channels), False,
+                param_dtype=self.param_dtype, name="conv1")()
+            b1 = _BiasParams(self.in_channels, param_dtype=self.param_dtype,
+                             name="bn1")()
+            res = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w1.astype(self.dtype), (1, 1),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            bmap = _bn1_bias_map(w1, b1, x.shape[1], x.shape[2])
+            res = res + bmap[None].astype(res.dtype)
+        else:
+            res = nn.BatchNorm(name="bn1", **bn_kw)(x)
+            res = nn.Conv(self.out_channels, (3, 3), padding=1,
+                          use_bias=False, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="conv1")(res)
         res = PReLU(self.out_channels, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="prelu")(res)
         assert self.s2_mode in _S2_MODES, self.s2_mode
@@ -265,6 +413,9 @@ class IRSEBackbone(nn.Module):
     taps: Tuple[int, int] = (6, 20)
     fuse_bn: bool = False
     s2_mode: str = "direct"
+    fused_residual: bool = False
+    fused_interpret: bool = False
+    fold_bn1: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -289,6 +440,9 @@ class IRSEBackbone(nn.Module):
                 cin = in_c if u == 0 else out_c
                 x = BottleneckIRSE(cin, out_c, stride, fuse_bn=self.fuse_bn,
                                    s2_mode=self.s2_mode,
+                                   fused_residual=self.fused_residual,
+                                   fused_interpret=self.fused_interpret,
+                                   fold_bn1=self.fold_bn1,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name=f"body_{unit_idx}")(x)

@@ -178,6 +178,13 @@ class PSpEncoder(nn.Module):
     input_size: int = 256  # head conv depths derive from this (c3 = size/16)
     fuse_bn: bool = False  # inference: post-conv BNs folded into conv weights
     s2_mode: str = "direct"  # trunk stride-2 convs: direct | s2d | poly
+    # Pallas-fused residual branches for eligible trunk units (Cin %
+    # 128 == 0; see fer_vit_tpu/ops/fused_irse_unit.py). Needs fuse_bn.
+    fused_residual: bool = False
+    fused_interpret: bool = False
+    # Full bn1 folding (kernel-scaled conv1 + border-exact bias map; see
+    # encoders/folding.py). Needs fuse_bn + fold_bn1-folded variables.
+    fold_bn1: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -192,7 +199,9 @@ class PSpEncoder(nn.Module):
     def __call__(self, x: jax.Array, add_latent_avg: bool = True) -> jax.Array:
         c1, c2, c3 = IRSEBackbone(
             plan=self.plan, taps=self.taps, fuse_bn=self.fuse_bn,
-            s2_mode=self.s2_mode, dtype=self.dtype,
+            s2_mode=self.s2_mode, fused_residual=self.fused_residual,
+            fused_interpret=self.fused_interpret, fold_bn1=self.fold_bn1,
+            dtype=self.dtype,
             param_dtype=self.param_dtype, name="backbone",
         )(x)
 
@@ -249,15 +258,23 @@ class EncoderWrapper:
 
     def __init__(self, variables=None, seed: int = 0,
                  dtype=jnp.bfloat16, encoder: Optional[PSpEncoder] = None,
-                 fold_bn: bool = True, s2_mode: str = "direct"):
+                 fold_bn: bool = True, s2_mode: str = "direct",
+                 fused_residual: bool = False, fold_bn1: bool = False):
         """``fold_bn``: fold eval-mode BNs into conv weights at load time
         (exact — parity-tested in tests/test_folding.py; the wrapper is
         inference-only, matching the reference which never trains pSp).
         ``s2_mode``: stride-2 trunk conv strategy — "direct" measures
         fastest end-to-end on v5e (the exact "s2d"/"poly" rewrites lose to
-        XLA's layout choices; PARITY.md round-2 measurements)."""
+        XLA's layout choices; PARITY.md round-2 measurements).
+        ``fused_residual``: Pallas-fused residual branches for the
+        eligible (≥128-channel) trunk units; requires fold_bn.
+        ``fold_bn1``: fold the pre-conv bn1 affines fully into conv1
+        (+ border-exact bias map); requires fold_bn."""
         if encoder is None and fold_bn:
-            encoder = PSpEncoder(dtype=dtype, fuse_bn=True, s2_mode=s2_mode)
+            encoder = PSpEncoder(dtype=dtype, fuse_bn=True, s2_mode=s2_mode,
+                                 fused_residual=fused_residual,
+                                 fold_bn1=fold_bn1)
+        self._fold_bn1 = fold_bn1
         self.encoder = encoder or PSpEncoder(dtype=dtype)
         if variables is None:
             variables = self.encoder.init(
@@ -269,7 +286,8 @@ class EncoderWrapper:
             # converted checkpoints arrive unfused; fold unless already
             bb = variables["params"]["backbone"]
             if "input_bn" in bb:
-                variables = fold_psp_variables(variables)
+                variables = fold_psp_variables(
+                    variables, fold_bn1=getattr(self, "_fold_bn1", False))
         self.variables = variables
 
         @jax.jit

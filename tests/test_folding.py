@@ -109,6 +109,36 @@ class TestBNFolding:
                                            rtol=1e-3, atol=1e-3,
                                            err_msg=mode)
 
+    def test_fold_bn1_matches_unfused(self):
+        """Full bn1 folding (kernel-scaled conv1 + border-exact bias map)
+        must be numerically exact vs the plain encoder — including the
+        1-px border ring where zero padding drops taps."""
+        enc = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
+                         n_styles=18)
+        enc_f = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
+                           n_styles=18, fuse_bn=True, fold_bn1=True)
+        variables = _randomize(
+            enc.init(jax.random.key(8), jnp.zeros((1, 32, 32, 3))), seed=9
+        )
+        folded = fold_psp_variables(variables, fold_bn1=True)
+
+        expected = jax.eval_shape(
+            lambda: enc_f.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3))))
+        got_paths = {p for p, _ in
+                     jax.tree_util.tree_leaves_with_path(folded)}
+        want_paths = {p for p, _ in
+                      jax.tree_util.tree_leaves_with_path(expected)}
+        assert got_paths == want_paths
+
+        x = jnp.asarray(
+            np.random.default_rng(10).normal(size=(2, 32, 32, 3)),
+            jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            ref = enc.apply(variables, x)
+            got = enc_f.apply(folded, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+
     def test_no_batchnorm_after_convs_in_fused_tree(self):
         enc_fused = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
                                fuse_bn=True)
