@@ -46,16 +46,21 @@ _FOLD_PAIRS = (
 )
 
 
-def _fold_one(kernel: np.ndarray, bn_params: Dict[str, Any],
-              bn_stats: Dict[str, Any]):
-    """conv kernel (kh, kw, in, out) + eval BN → (kernel', bias')."""
+def _bn_affine(bn_params: Dict[str, Any], bn_stats: Dict[str, Any]):
+    """Eval-mode BN → per-channel affine ``y = a·x + b`` (float64)."""
     gamma = np.asarray(bn_params["scale"], np.float64)
     beta = np.asarray(bn_params["bias"], np.float64)
     mean = np.asarray(bn_stats["mean"], np.float64)
     var = np.asarray(bn_stats["var"], np.float64)
     a = gamma / np.sqrt(var + _EPS)
+    return a, beta - mean * a
+
+
+def _fold_one(kernel: np.ndarray, bn_params: Dict[str, Any],
+              bn_stats: Dict[str, Any]):
+    """conv kernel (kh, kw, in, out) + eval BN → (kernel', bias')."""
+    a, bias = _bn_affine(bn_params, bn_stats)
     kernel = np.asarray(kernel, np.float64) * a  # broadcast over out axis
-    bias = beta - mean * a
     dt = jnp.float32
     return jnp.asarray(kernel, dt), jnp.asarray(bias, dt)
 
@@ -101,23 +106,21 @@ def fold_backbone_variables(params: Dict, batch_stats: Dict,
 
     if fold_bn1 and "bn1" in new_params and "conv1" in new_params:
         bn_p, bn_s = new_params.pop("bn1"), new_stats.pop("bn1")
-        gamma = np.asarray(bn_p["scale"], np.float64)
-        beta = np.asarray(bn_p["bias"], np.float64)
-        mean = np.asarray(bn_s["mean"], np.float64)
-        var = np.asarray(bn_s["var"], np.float64)
-        a1 = gamma / np.sqrt(var + _EPS)
-        b1 = beta - mean * a1
+        a1, b1 = _bn_affine(bn_p, bn_s)
         kernel = np.asarray(new_params["conv1"]["kernel"], np.float64)
-        # input-channel axis this time: conv1(a1⊙x) = conv1'(x)
+        # conv1(a1⊙x + b1) = conv1'(x) + bmap: the kernel absorbs a1 on
+        # the INPUT-channel axis; the offset's contribution is stored as
+        # the per-tap channel-contracted sums s[kh,kw,co] = Σ_ci
+        # w1[kh,kw,ci,co]·b1[ci], computed from the PRE-fold kernel so
+        # a1 == 0 channels (dead BN scales) keep their exact constant
+        # contribution — the module expands s into the border-exact
+        # bias map (see irse._bn1_bias_map).
         new_params["conv1"] = {
             "kernel": jnp.asarray(kernel * a1[None, None, :, None],
                                   jnp.float32)}
-        # the module rebuilds the border bias map from the FOLDED kernel
-        # (conv1'(b̂·1) with b̂ = b1/a1 equals conv1(b1·1) exactly), so
-        # store the a1-compensated offset. |γ| ≥ tiny guard: a trained
-        # BN's γ is never exactly 0; clamp to keep the division finite.
-        a_safe = np.where(np.abs(a1) < 1e-12, 1e-12, a1)
-        new_params["bn1"] = {"bias": jnp.asarray(b1 / a_safe, jnp.float32)}
+        new_params["bn1"] = {
+            "tap_bias": jnp.asarray(
+                np.einsum("abic,i->abc", kernel, b1), jnp.float32)}
     return new_params, new_stats
 
 

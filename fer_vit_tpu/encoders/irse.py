@@ -249,42 +249,49 @@ class _PReLUParams(nn.Module):
                           (self.channels,), self.param_dtype)
 
 
-class _BiasParams(nn.Module):
-    """Single per-channel offset — what remains of ``bn1`` after full
-    folding (its scale lives in conv1's kernel; see folding.py)."""
+class _TapBiasParams(nn.Module):
+    """What remains of ``bn1`` after full folding: the per-tap
+    channel-contracted offset sums ``s[kh,kw,co] = Σ_ci
+    w1_orig[kh,kw,ci,co]·b1[ci]`` (its scale lives in conv1's kernel;
+    computed by folding.py from the PRE-fold kernel so it stays exact
+    even for channels whose folded scale is 0)."""
 
-    channels: int
+    channels: int  # Cout
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self):
-        return self.param("bias", nn.initializers.zeros_init(),
-                          (self.channels,), self.param_dtype)
+        return self.param("tap_bias", nn.initializers.zeros_init(),
+                          (3, 3, self.channels), self.param_dtype)
 
 
-def _bn1_bias_map(w1: jax.Array, b1: jax.Array, H: int, W: int) -> jax.Array:
+def _bn1_bias_map(s: jax.Array, H: int, W: int) -> jax.Array:
     """conv1 applied to the constant ``b1`` image with zero padding —
     ``conv1(a1⊙x + b1) = conv1'(x) + bmap``. Constant in the interior;
     the 1-px border ring loses the taps that fall outside the image, so
     bmap is the 9-term sum of separable tap-validity masks (an einsum
-    over tiny operands that XLA folds into the conv epilogue)."""
+    over tiny operands that XLA folds into the conv epilogue).
+
+    ``s``: (3, 3, Cout) per-tap offset sums (see :class:`_TapBiasParams`).
+    """
     f32 = jnp.float32
-    s = jnp.einsum("abic,i->abc", w1.astype(f32), b1.astype(f32))  # (3,3,C)
     yi = jnp.arange(H)
     xi = jnp.arange(W)
     ones_y = jnp.ones((H,), f32)
     ones_x = jnp.ones((W,), f32)
     R = jnp.stack([(yi >= 1).astype(f32), ones_y, (yi <= H - 2).astype(f32)])
     C = jnp.stack([(xi >= 1).astype(f32), ones_x, (xi <= W - 2).astype(f32)])
-    return jnp.einsum("ay,bx,abc->yxc", R, C, s)  # (H, W, C)
+    return jnp.einsum("ay,bx,abc->yxc", R, C, s.astype(f32))  # (H, W, C)
 
 
 class BottleneckIRSE(nn.Module):
     """``fuse_bn=True`` is the inference-optimized variant: every BatchNorm
     that FOLLOWS a conv (bn2, shortcut_bn) is folded into that conv's
     weights+bias ahead of time (see :mod:`fer_vit_tpu.encoders.folding`),
-    removing one full HBM scale-shift pass per BN. bn1 precedes its conv —
-    folding it would change zero-padding borders — so it always stays."""
+    removing one full HBM scale-shift pass per BN. bn1 precedes its conv,
+    so plain fuse_bn keeps it; ``fold_bn1=True`` additionally folds it —
+    exactly, via a border-aware bias map (the zero-padding ring loses
+    taps; see :func:`_bn1_bias_map`)."""
 
     in_channels: int
     out_channels: int
@@ -322,6 +329,14 @@ class BottleneckIRSE(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.fold_bn1 and self.fused_residual:
+            raise ValueError(
+                "fold_bn1 and fused_residual are mutually exclusive: the "
+                "fused kernel consumes the intact bn1 variables while "
+                "fold_bn1 replaces them with the folded tap_bias.")
+        if self.fold_bn1 and not self.fuse_bn:
+            raise ValueError("fold_bn1 requires fuse_bn=True (it extends "
+                             "the folded variable structure).")
         bn_kw = dict(use_running_average=True, epsilon=1e-5, momentum=0.9,
                      dtype=self.dtype, param_dtype=self.param_dtype)
         if self.in_channels == self.out_channels:
@@ -365,17 +380,16 @@ class BottleneckIRSE(nn.Module):
             return res + shortcut
 
         if self.fold_bn1:
-            assert self.fuse_bn and not self.fused_residual
             w1, _ = _ConvParams(
                 (3, 3, self.in_channels, self.out_channels), False,
                 param_dtype=self.param_dtype, name="conv1")()
-            b1 = _BiasParams(self.in_channels, param_dtype=self.param_dtype,
-                             name="bn1")()
+            s = _TapBiasParams(self.out_channels,
+                               param_dtype=self.param_dtype, name="bn1")()
             res = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), w1.astype(self.dtype), (1, 1),
                 [(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            bmap = _bn1_bias_map(w1, b1, x.shape[1], x.shape[2])
+            bmap = _bn1_bias_map(s, x.shape[1], x.shape[2])
             res = res + bmap[None].astype(res.dtype)
         else:
             res = nn.BatchNorm(name="bn1", **bn_kw)(x)

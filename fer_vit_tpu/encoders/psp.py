@@ -270,11 +270,16 @@ class EncoderWrapper:
         eligible (≥128-channel) trunk units; requires fold_bn.
         ``fold_bn1``: fold the pre-conv bn1 affines fully into conv1
         (+ border-exact bias map); requires fold_bn."""
+        if fold_bn1 and not fold_bn:
+            raise ValueError("fold_bn1 requires fold_bn=True")
+        if fold_bn1 and fused_residual:
+            raise ValueError(
+                "fold_bn1 and fused_residual are mutually exclusive "
+                "(the fused kernel consumes the intact bn1 variables)")
         if encoder is None and fold_bn:
             encoder = PSpEncoder(dtype=dtype, fuse_bn=True, s2_mode=s2_mode,
                                  fused_residual=fused_residual,
                                  fold_bn1=fold_bn1)
-        self._fold_bn1 = fold_bn1
         self.encoder = encoder or PSpEncoder(dtype=dtype)
         if variables is None:
             variables = self.encoder.init(
@@ -283,11 +288,14 @@ class EncoderWrapper:
         elif getattr(self.encoder, "fuse_bn", False):
             from fer_vit_tpu.encoders.folding import fold_psp_variables
 
-            # converted checkpoints arrive unfused; fold unless already
+            # converted checkpoints arrive unfused; fold unless already —
+            # the fold mode follows the ENCODER's own flag, so a
+            # caller-supplied fold_bn1 encoder gets matching variables
             bb = variables["params"]["backbone"]
             if "input_bn" in bb:
                 variables = fold_psp_variables(
-                    variables, fold_bn1=getattr(self, "_fold_bn1", False))
+                    variables,
+                    fold_bn1=getattr(self.encoder, "fold_bn1", False))
         self.variables = variables
 
         @jax.jit

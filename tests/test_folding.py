@@ -139,6 +139,42 @@ class TestBNFolding:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-3, atol=1e-3)
 
+    def test_fold_bn1_exact_for_dead_bn_scale(self):
+        """A bn1 channel with γ == 0 but β != 0 (dead scale under weight
+        decay) still contributes conv1(β·1) to every output — the folded
+        tap_bias is computed from the PRE-fold kernel, so no information
+        is lost when the folded conv1 kernel zeroes that input channel."""
+        enc = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
+                         n_styles=18)
+        enc_f = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
+                           n_styles=18, fuse_bn=True, fold_bn1=True)
+        variables = _randomize(
+            enc.init(jax.random.key(13), jnp.zeros((1, 32, 32, 3))),
+            seed=14)
+        # kill bn1 scales of body_0 entirely; offsets stay nonzero
+        p = variables["params"]["backbone"]["body_0"]["bn1"]
+        p["scale"] = jnp.zeros_like(p["scale"])
+        folded = fold_psp_variables(variables, fold_bn1=True)
+        x = jnp.asarray(
+            np.random.default_rng(15).normal(size=(2, 32, 32, 3)),
+            jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            ref = enc.apply(variables, x)
+            got = enc_f.apply(folded, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_fold_bn1_flag_exclusivity(self):
+        enc = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
+                         n_styles=18, fuse_bn=True, fold_bn1=True,
+                         fused_residual=True, fused_interpret=True)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            enc.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        enc2 = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
+                          n_styles=18, fuse_bn=False, fold_bn1=True)
+        with pytest.raises(ValueError, match="requires fuse_bn"):
+            enc2.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+
     def test_no_batchnorm_after_convs_in_fused_tree(self):
         enc_fused = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
                                fuse_bn=True)

@@ -97,8 +97,8 @@ class TestFusedKernel:
             r, s = fused_irse_residual_reference(*p, stride=2)
             return jnp.sum(r ** 2) + jnp.sum(s)
 
-        gf = jax.grad(loss_fused, argnums=(0, 1, 3, 4, 5, 6))(*args)
-        gr = jax.grad(loss_ref, argnums=(0, 1, 3, 4, 5, 6))(*args)
+        gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+        gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-2, atol=1e-2)
