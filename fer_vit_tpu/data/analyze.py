@@ -16,8 +16,7 @@ from typing import Callable, Dict, Optional
 import numpy as np
 
 from fer_vit_tpu import EMOTION_NAMES
-
-_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+from fer_vit_tpu.data.image_pipeline import IMAGE_EXTS as _IMG_EXTS
 
 
 def analyze_fer2013_dataset(root_dir: str,

@@ -7,5 +7,14 @@ off, a Pallas TPU kernel selected automatically on TPU backends.
 """
 
 from fer_vit_tpu.ops.attention import dot_product_attention, multi_head_attention
+from fer_vit_tpu.ops.fused_irse_unit import (
+    fused_irse_residual,
+    fused_irse_residual_reference,
+)
 
-__all__ = ["dot_product_attention", "multi_head_attention"]
+__all__ = [
+    "dot_product_attention",
+    "multi_head_attention",
+    "fused_irse_residual",
+    "fused_irse_residual_reference",
+]

@@ -52,33 +52,17 @@ def build_step():
 
 
 def parse_xplane(profile_dir: str, top: int):
-    """Aggregate device self-time per HLO op name from the xplane proto."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    """Aggregate device self-time per HLO op name from the xplane proto
+    (dependency-free wire-format reader — the tensorflow +
+    tensorboard-plugin-profile stack in this image is version-incompatible;
+    see fer_vit_tpu/utils/xplane.py)."""
+    from fer_vit_tpu.utils.xplane import device_op_totals
 
     paths = sorted(glob.glob(
         os.path.join(profile_dir, "**", "*.xplane.pb"), recursive=True))
     assert paths, f"no xplane under {profile_dir}"
-    xspace = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
-
-    totals: dict = defaultdict(float)
-    device_total = 0.0
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
-            continue
-        if "Host" in plane.name:
-            continue
-        for line in plane.lines:
-            lname = line.name.lower()
-            # XLA op lines carry per-op events; step/module lines double-count
-            if "xla op" not in lname and "ops" != lname:
-                continue
-            for ev in line.events:
-                meta = plane.event_metadata[ev.metadata_id]
-                dur = ev.duration_ps / 1e12
-                totals[meta.name] += dur
-                device_total += dur
+    totals = device_op_totals(paths[-1])
+    device_total = sum(totals.values())
     rows = sorted(totals.items(), key=lambda kv: -kv[1])
     print(f"\ndevice op self-time total: {device_total * 1e3:.1f} ms "
           f"(all traced iterations)")

@@ -30,7 +30,6 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["JAX_PLATFORMS"] = os.environ.get("FERVIT_PARITY_PLATFORM", "cpu")
 os.environ["JAX_PLATFORM_NAME"] = os.environ["JAX_PLATFORMS"]
 os.environ.pop("XLA_FLAGS", None)

@@ -67,6 +67,33 @@ def test_corrupt_file_black_fallback(tmp_path):
     assert out.sum() == 0
 
 
+def test_mixed_formats_route_unsupported_to_pil(tmp_path):
+    """IMAGE_EXTS admits .bmp/.webp, which the C++ decoder does not
+    recognize — decode_batch must route them to PIL inside the same
+    call, never black-fill them (regression: early version returned
+    all-black for every non-JPEG/PNG file)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    paths = []
+    for ext, fmt in [("png", "PNG"), ("bmp", "BMP"), ("webp", "WEBP"),
+                     ("jpg", "JPEG")]:
+        arr = rng.integers(30, 225, size=(40, 40, 3), dtype=np.uint8)
+        p = str(tmp_path / f"mixed.{ext}")
+        Image.fromarray(arr).save(p, fmt)
+        paths.append(p)
+    out = nd.decode_batch(paths, 32)
+    for i, p in enumerate(paths):
+        assert out[i].sum() > 0, f"{p} decoded black"
+        with Image.open(p) as im:
+            ref = np.asarray(im.convert("RGB").resize((32, 32),
+                                                      Image.BILINEAR),
+                             np.uint8)
+        diff = np.abs(out[i].astype(int) - ref.astype(int))
+        # PIL-routed rows are exact; native rows within the usual ±2
+        assert diff.max() <= 2, (p, diff.max())
+
+
 def test_image_store_native_matches_pil(tmp_path):
     from fer_vit_tpu.data.image_pipeline import ImageStore
     from tests.test_image_pipeline import _make_image_tree
