@@ -1,0 +1,145 @@
+"""Hardware smoke validation: drives the framework's real-TPU surfaces
+end-to-end with synthetic data. Run on a chip-attached machine:
+
+    python scripts/validate_tpu.py            # all stages, ~10-20 min cold
+    python scripts/validate_tpu.py train      # one stage
+
+Stages
+  encoder   plain vs fused-residual PSpEncoder forward at 256px (the
+            integrated Pallas path; bf16-tolerance output equality)
+  train     real training on the chip: ImageViT (197 tokens → the Pallas
+            flash-attention path under jax.grad — the round-1 advisor's
+            crash scenario, now custom-VJP'd) + LatentViT via the CLI
+            with the experiment-dir contract
+  genlat    the north-star generate_latents pipeline (SURVEY §3.2):
+            native decode → jitted pSp encode → sharded packs +
+            resumable manifest → LatentStore roundtrip
+
+Each stage prints `<stage> OK`; exits non-zero on the first failure.
+All three passed on the v5e tunnel chip (round-2 validation record in
+PARITY.md).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def stage_encoder() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fer_vit_tpu.encoders.psp import PSpEncoder
+
+    enc = PSpEncoder(dtype=jnp.bfloat16, fuse_bn=True)
+    enc_f = PSpEncoder(dtype=jnp.bfloat16, fuse_bn=True,
+                       fused_residual=True)
+    v = enc.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(scale=0.5, size=(4, 256, 256, 3)),
+        jnp.float32)
+    t0 = time.perf_counter()
+    ref = jax.jit(enc.apply)(v, x)
+    ref.block_until_ready()
+    got = jax.jit(enc_f.apply)(v, x)
+    got.block_until_ready()
+    rel = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.03, f"fused encoder diverges: rel={rel}"
+    print(f"encoder OK (rel={rel:.1e}, {time.perf_counter() - t0:.0f}s)",
+          flush=True)
+
+
+def _image_tree(root: str, n_per: int, size: int = 48) -> None:
+    from PIL import Image
+
+    from fer_vit_tpu import EMOTION_NAMES
+
+    rng = np.random.default_rng(0)
+    for c in EMOTION_NAMES:
+        d = os.path.join(root, c)
+        os.makedirs(d)
+        for i in range(n_per):
+            Image.fromarray(
+                rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+            ).save(os.path.join(d, f"{i}.png"))
+
+
+def stage_train() -> None:
+    td = tempfile.mkdtemp(prefix="fervit_validate_")
+    for split, n in [("train", 3), ("val", 2)]:
+        _image_tree(os.path.join(td, split), n)
+
+    from fer_vit_tpu.train.train_image_vit import build_parser, main
+    res = main(build_parser().parse_args([
+        "--train_dir", os.path.join(td, "train"),
+        "--val_dir", os.path.join(td, "val"),
+        "--img_size", "224", "--model_size", "custom", "--patch_size", "16",
+        "--embed_dim", "64", "--depth", "1", "--heads", "2",
+        "--mlp_dim", "128", "--epochs", "2", "--batch_size", "8",
+        "--dropout", "0.0",  # selects the fused-attention path under grad
+        "--experiments_dir", os.path.join(td, "exp"),
+    ]))
+    assert len(res["history"]) == 2
+    print("train(image_vit/flash-attn-grad) OK", flush=True)
+
+    ld = os.path.join(td, "lat")
+    for split, n in [("train", 40), ("val", 14)]:
+        d = os.path.join(ld, split)
+        os.makedirs(d)
+        rng = np.random.default_rng(1)
+        np.savez(os.path.join(d, "pack.npz"),
+                 latents=rng.normal(size=(n, 18, 512)).astype(np.float32),
+                 labels=(np.arange(n) % 7).astype(np.int32))
+    from fer_vit_tpu.train.train_latent_vit import (
+        build_parser as lp, main as lm)
+    lm(lp().parse_args([
+        "--latent_train_dir", os.path.join(ld, "train"),
+        "--latent_val_dir", os.path.join(ld, "val"),
+        "--epochs", "2", "--batch_size", "16", "--depth", "2",
+        "--experiments_dir", os.path.join(td, "exp2"),
+    ]))
+    assert glob.glob(os.path.join(td, "exp2", "*", "*", "checkpoints",
+                                  "best_model.pt"))
+    print("train(latent_vit CLI) OK", flush=True)
+
+
+def stage_genlat() -> None:
+    from fer_vit_tpu.data.generate_latents import generate_latents
+    from fer_vit_tpu.data.latent_store import LatentStore
+    from fer_vit_tpu.encoders.psp import EncoderWrapper
+
+    td = tempfile.mkdtemp(prefix="fervit_validate_")
+    root = os.path.join(td, "images")
+    _image_tree(root, 5, size=64)
+    out = os.path.join(td, "latents")
+    wrapper = EncoderWrapper()  # random init; real weights via from_npz
+    n = generate_latents(root, out, encoder=wrapper, batch_size=16)
+    assert n == 35, n
+    assert generate_latents(root, out, encoder=wrapper,
+                            batch_size=16) == 0  # resumable manifest
+    store = LatentStore.load(out)
+    assert store.latents.shape == (35, 18, 512)
+    print("genlat OK", flush=True)
+
+
+STAGES = {"encoder": stage_encoder, "train": stage_train,
+          "genlat": stage_genlat}
+
+
+def main() -> None:
+    wanted = sys.argv[1:] or list(STAGES)
+    for name in wanted:
+        STAGES[name]()
+    print("VALIDATE_TPU OK:", ", ".join(wanted))
+
+
+if __name__ == "__main__":
+    main()
