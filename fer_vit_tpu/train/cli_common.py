@@ -83,6 +83,7 @@ def run_latent_training(
     lr_mult=None,
     init_params_patch=None,
     wd_mask=None,
+    lr_group_mults=None,
 ) -> dict:
     """Common tail of every latent trainer: harness, logging, fit, summary.
     ``model`` may be any object with Flax-style ``init``/``apply`` — e.g.
@@ -132,6 +133,7 @@ def run_latent_training(
         start_epoch=start_epoch,
         initial_best_f1=initial_best,
         scheduler_state=sched_state,
+        lr_group_mults=lr_group_mults,
     )
     final = dict(results["final_metrics"],
                  data_fraction=getattr(args, "data_fraction", 1.0))

@@ -69,6 +69,13 @@ class TrainConfig:
     seed: int = 42
     augment: Optional[LatentAugmentConfig] = None
     eta_min: float = 0.0  # cosine floor (image trainer uses lr*0.01)
+    # Train-metric source: the reference LATENT trainers run a clean
+    # no-grad forward after the step UNCONDITIONALLY (even with mixup 0 —
+    # reference train/train_latent_vit.py:138-141, train_latent_cnn.py:134)
+    # while the image/hybrid trainers take metrics from the training
+    # forward itself. None = auto (clean forward iff mixup > 0; the
+    # pre-flag behavior); latent trainers pass True.
+    clean_metrics_forward: Optional[bool] = None
 
 
 def make_optimizer(cfg: TrainConfig,
@@ -185,22 +192,27 @@ class Harness:
             lam = jax.random.beta(k_mix, cfg.mixup, cfg.mixup)
         else:
             lam = jnp.asarray(1.0, jnp.float32)
-        perm = jax.random.permutation(k_perm, b)
+        perm0 = jax.random.permutation(k_perm, b)
+        # Pad-safe pairing: a REAL row whose sampled partner is a padded
+        # slot self-mixes instead (input stays exact, lam·CE + (1−lam)·CE
+        # = plain CE — no contamination from pad content), and pad rows
+        # pair with themselves. For full batches perm == perm0, identical
+        # to the reference's randperm mixing; only the final partial
+        # batch differs (the reference shrinks the batch there instead).
+        perm = jnp.where(mask[perm0] > 0, perm0, jnp.arange(b))
         lam_x = lam.astype(xb.dtype)
         x_mixed = lam_x * xb + (1.0 - lam_x) * xb[perm]
         yb_perm = yb[perm]
-        # a padded slot may be mixed with a real one; the loss terms each use
-        # the mask of *their* label stream (reference keeps full batches, so
-        # this only matters for the final partial batch)
-        mask_perm = mask[perm]
 
         def loss_fn(params):
             logits, new_bs = self._apply_train(params, state.batch_stats,
                                                x_mixed, k_drop)
             loss_a = cross_entropy(logits, yb, class_weights,
                                    cfg.label_smoothing, mask)
+            # after the redirect both label streams share the row's own
+            # validity (real rows mix with real rows, pads with pads)
             loss_b = cross_entropy(logits, yb_perm, class_weights,
-                                   cfg.label_smoothing, mask_perm)
+                                   cfg.label_smoothing, mask)
             return lam * loss_a + (1.0 - lam) * loss_b, (new_bs, logits)
 
         (loss, (new_bs, logits_mixed)), grads = jax.value_and_grad(
@@ -215,15 +227,19 @@ class Harness:
             )
         new_params = optax.apply_updates(state.params, updates)
 
-        if cfg.mixup > 0:
-            # Second clean forward in train mode for train metrics
-            # (reference: train/train_latent_vit.py:138-141).
+        clean_fwd = (cfg.mixup > 0 if cfg.clean_metrics_forward is None
+                     else cfg.clean_metrics_forward)
+        if clean_fwd:
+            # Clean post-step forward in train mode for train metrics
+            # (reference: train/train_latent_vit.py:138-141 — run there
+            # unconditionally, so latent trainers set the flag even for
+            # --mixup 0).
             logits_clean, new_bs2 = self._apply_train(new_params, new_bs, xb,
                                                       k_drop2)
             preds = jnp.argmax(logits_clean, axis=-1)
         else:
-            # Without mixup the reference records metrics from the training
-            # forward itself (reference: train/train_image_vit.py:128-137).
+            # The image/hybrid reference trainers record metrics from the
+            # training forward itself (train/train_image_vit.py:128-137).
             preds = jnp.argmax(logits_mixed, axis=-1)
             new_bs2 = new_bs
 

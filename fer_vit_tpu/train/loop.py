@@ -56,6 +56,7 @@ def fit(
     start_epoch: int = 1,
     initial_best_f1: float = 0.0,
     scheduler_state: Dict | None = None,
+    lr_group_mults=None,
 ) -> Dict:
     cfg = harness.cfg
     train_x = jnp.asarray(train_x)
@@ -113,7 +114,11 @@ def fit(
                 f"val_f1={metrics['val_f1']:.4f}"
             )
         logger.log_metrics(metrics, epoch)
-        logger.log_learning_rate(lr, epoch)
+        # layer-wise-LR runs emit the reference's per-group tags
+        # (Learning_Rate/Group_i, reference utils/experiment_logger.py:173-177)
+        logger.log_learning_rate(
+            [lr * m for m in lr_group_mults] if lr_group_mults else lr,
+            epoch)
 
         if hist_every and epoch % hist_every == 0:
             bs = min(cfg.batch_size, train_x.shape[0])
@@ -122,9 +127,10 @@ def fit(
             logger.log_parameters(state.params, epoch)
             logger.log_gradients(grads, epoch)
 
-        is_best = metrics["val_f1"] > best_f1
+        current = vm[best_metric]
+        is_best = current > best_f1
         if is_best:
-            best_f1 = metrics["val_f1"]
+            best_f1 = current
             if verbose:
                 print(f"  → Best model (F1: {best_f1:.4f})")
         # Step the scheduler before checkpointing so the saved
@@ -149,8 +155,12 @@ def fit(
                                    scheduler_state=sched.state_dict())
 
     # Final evaluation + report (reference: train_latent_vit.py:358-382).
-    val_loss, val_cm = harness.eval_epoch(state, val_x, val_y, class_weights)
-    vm = metrics_from_confusion(np.asarray(val_cm))
+    # The last loop iteration already evaluated this exact state (nothing
+    # mutates it afterwards), so only re-evaluate when no epoch ran
+    # (e.g. resuming a checkpoint at or past cfg.epochs).
+    if not history:
+        val_loss, val_cm = harness.eval_epoch(state, val_x, val_y, class_weights)
+        vm = metrics_from_confusion(np.asarray(val_cm))
     names = [n.capitalize() for n in EMOTION_NAMES]
     if verbose:
         print("\nClassification Report:")

@@ -127,9 +127,14 @@ def main(args) -> dict:
                        "val_dir": args.latent_val_dir}}
     exp_name = f"expr_aware_vit_{create_experiment_name(model_cfg, training_cfg)}"
 
-    return run_latent_training(args, model, cfg, exp_name, config,
-                               train_store, val_store,
-                               lr_mult=lr_mult, wd_mask=wd_mask)
+    return run_latent_training(
+        args, model, cfg, exp_name, config, train_store, val_store,
+        lr_mult=lr_mult, wd_mask=wd_mask,
+        # reference group order (train_expression_aware_vit.py:66-96
+        # mirrors the hybrid trainer's): input_proj ×10, transformer ×1,
+        # [adapters ×10], head ×10, pos/CLS ×5
+        lr_group_mults=([10.0, 1.0] + ([10.0] if args.use_adapter else [])
+                        + [10.0, 5.0]) if args.use_layerwise_lr else None)
 
 
 if __name__ == "__main__":

@@ -148,6 +148,10 @@ def main(args) -> dict:
         args, model, cfg, experiment_name, config, train_store, val_store,
         lr_mult=lr_mult, init_params_patch=init_params_patch,
         wd_mask=wd_mask,
+        # reference optimizer-group order (train_hybrid_latent_vit.py:65-117):
+        # input_proj x10, transformer x1, [adapters x10], head x10, pos/CLS x5
+        lr_group_mults=([10.0, 1.0] + ([10.0] if args.use_adapter else [])
+                        + [10.0, 5.0]) if args.use_layerwise_lr else None,
     )
     return results
 

@@ -58,6 +58,7 @@ def main(args) -> dict:
         mixup=1.0,  # hardcoded in the reference (train_latent_cnn.py:115-120)
         use_class_weights=args.use_class_weights,
         num_classes=args.num_classes, seed=args.seed,
+        clean_metrics_forward=True,  # reference train_latent_cnn.py:134
     )
 
     config = {

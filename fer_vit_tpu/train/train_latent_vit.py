@@ -119,6 +119,7 @@ def main(args) -> dict:
         num_classes=args.num_classes,
         seed=args.seed,
         augment=augment,
+        clean_metrics_forward=True,  # reference :138-141 runs it always
     )
     class_weights = (
         train_store.class_weights(args.num_classes)

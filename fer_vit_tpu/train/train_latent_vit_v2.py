@@ -78,6 +78,7 @@ def main(args) -> dict:
         grad_clip=args.grad_clip, use_class_weights=args.use_class_weights,
         num_classes=args.num_classes, seed=args.seed,
         augment=augment_from_args(args),
+        clean_metrics_forward=True,  # reference template: unconditional
     )
 
     model_config = {

@@ -11,8 +11,9 @@ keeps it byte-compatible where tools read it:
 * ``config.json`` at run start; ``experiment_summary.json`` with
   ``{experiment_name, run_id, duration_seconds, final_metrics, config}``
 * ``checkpoints/last_model.pt`` every save, ``best_model.pt`` on
-  improvement, each holding ``{epoch, model_state, opt_state, metrics,
-  config, run_id}``.
+  improvement, each holding ``{epoch, state, metrics, config, run_id}``
+  (plus ``scheduler_state`` when present); ``state`` is the serialized
+  TrainState (params + optimizer state together).
 
 Checkpoint *content* is Flax msgpack (this framework's native pytree
 serialization), not torch pickle — the filenames and surrounding layout are
@@ -72,7 +73,8 @@ class ExperimentLogger:
         self._log_dir = os.path.join(self.run_dir, "logs")
         self.writer = SummaryWriter(self._log_dir) if _TB_AVAILABLE else None
         self._scalar_file = open(
-            os.path.join(self._log_dir, "scalars.jsonl"), "a", encoding="utf-8"
+            os.path.join(self._log_dir, "scalars.jsonl"), "a", encoding="utf-8",
+            buffering=1,  # line-buffered: a crash must not lose logged scalars
         )
         self.config: Dict[str, Any] = {}
         self.start_time = time.time()

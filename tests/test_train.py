@@ -134,6 +134,34 @@ class TestHarness:
         vl, cm = h.eval_epoch(state, jnp.asarray(x), jnp.asarray(y), None)
         assert float(np.asarray(cm).sum()) == 70
 
+    def test_mixup_gradients_independent_of_pad_content(self):
+        """Mixup on a padded partial batch must not leak pad-slot CONTENT
+        into the update: real rows whose sampled partner is padding
+        self-mix and the (1−lam) loss stream is masked per row, so two
+        train_steps that differ only in pad-slot values produce identical
+        parameters (the reference mixes within the shrunk real batch)."""
+        h, state = _harness(mixup=1.0)
+        b, n_real = 32, 5
+        rng = np.random.default_rng(3)
+        xr = rng.normal(size=(n_real, 18, 512)).astype(np.float32)
+        yr = (np.arange(n_real) % 7).astype(np.int32)
+        mask = jnp.asarray((np.arange(b) < n_real).astype(np.float32))
+
+        def step_with_pads(pad_fill):
+            xb = np.concatenate(
+                [xr, np.full((b - n_real, 18, 512), pad_fill, np.float32)])
+            yb = np.concatenate([yr, np.zeros(b - n_real, np.int32)])
+            new_state, _ = h.train_step(
+                state, jax.random.key(7), jnp.asarray(xb), jnp.asarray(yb),
+                mask, jnp.float32(1e-3), None)
+            return new_state.params
+
+        p_a = step_with_pads(0.0)
+        p_b = step_with_pads(1e3)  # wildly different pad content
+        for la, lb in zip(jax.tree_util.tree_leaves(p_a),
+                          jax.tree_util.tree_leaves(p_b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
     def test_mixup_and_augment_path(self):
         from fer_vit_tpu.data.latent_augment import get_latent_train_transforms
 
