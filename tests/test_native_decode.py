@@ -1,4 +1,4 @@
-"""Native C++ batch decoder (native/decode.cpp) parity vs PIL."""
+"""Native C++ batch decoder (fer_vit_tpu/native_src/decode.cpp) parity vs PIL."""
 
 import os
 

@@ -176,6 +176,41 @@ class TestHarness:
         assert np.isfinite(float(loss))
         assert float(np.asarray(cm).sum()) == x.shape[0]
 
+    def test_clean_metrics_forward_flag(self):
+        """The flag controls the train-metric source (ADVICE r2): latent
+        trainers run a clean POST-step forward even with mixup 0 (reference
+        train/train_latent_vit.py:138-141); image/hybrid trainers take
+        metrics from the training forward itself. Observable with dropout 0:
+        flag=True preds match the updated params, flag=False the pre-step
+        params."""
+        x, y = _toy_problem(n=32)
+        xb, yb = jnp.asarray(x), jnp.asarray(y)
+        mask = jnp.ones(32)
+        results = {}
+        for flag in (True, False):
+            model = LatentViT(depth=1, embed_dim=64, heads=2, mlp_dim=128,
+                              dropout=0.0)
+            cfg = TrainConfig(epochs=1, batch_size=32, lr=1e-1, mixup=0.0,
+                              clean_metrics_forward=flag)
+            h = Harness(model=model, cfg=cfg)
+            state = h.init_state(jax.random.key(0), jnp.zeros((1, 18, 512)))
+            new_state, stats = h.train_step(
+                state, jax.random.key(1), xb, yb, mask, jnp.float32(1e-1),
+                None)
+            results[flag] = (h, state, new_state, np.asarray(stats["preds"]))
+
+        h, _, new_state, preds_clean = results[True]
+        post = np.asarray(jnp.argmax(
+            h._apply_eval(new_state.params, new_state.batch_stats, xb), -1))
+        np.testing.assert_array_equal(preds_clean, post)
+
+        h0, state0, _, preds_train = results[False]
+        pre = np.asarray(jnp.argmax(
+            h0._apply_eval(state0.params, state0.batch_stats, xb), -1))
+        np.testing.assert_array_equal(preds_train, pre)
+        # the lr is big enough that the two sources genuinely disagree
+        assert (preds_clean != preds_train).any()
+
     def test_determinism_same_seed(self):
         x, y = _toy_problem()
         outs = []
@@ -342,6 +377,44 @@ class TestSchedulerStateResume:
         for epoch in (4, 5, 6):
             assert lrs_a[epoch] == pytest.approx(lrs_b[epoch])
         assert res_a["best_f1"] == pytest.approx(res_b["best_f1"])
+
+
+class TestGroupLRTags:
+    def test_fit_emits_per_group_lr_tags(self, tmp_path):
+        """A layer-wise-LR run must emit the reference's per-group TB tags
+        (Learning_Rate/Group_i, a frozen contract — reference
+        utils/experiment_logger.py:173-177) with lr × group multiplier."""
+        import json
+        import os
+
+        from fer_vit_tpu.train.loop import fit
+        from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(32, 18, 512)).astype(np.float32)
+        y = (np.arange(32) % 7).astype(np.int32)
+        model = LatentViT(depth=1, embed_dim=32, heads=2, mlp_dim=64)
+        cfg = TrainConfig(epochs=2, batch_size=32, lr=1e-3, mixup=0.0,
+                          scheduler="none")
+        h = Harness(model=model, cfg=cfg)
+        state = h.init_state(jax.random.key(0), jnp.zeros((1, 18, 512)))
+        logger = ExperimentLogger("groups", base_dir=str(tmp_path))
+        fit(h, state, x, y, x, y, logger, hist_every=0, verbose=False,
+            lr_group_mults=[10.0, 1.0, 5.0])
+        logger.close()
+
+        tags = {}
+        with open(os.path.join(logger.run_dir, "logs", "scalars.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["tag"].startswith("Learning_Rate/"):
+                    tags.setdefault(rec["tag"], {})[rec["step"]] = rec["value"]
+        assert set(tags) == {"Learning_Rate/Group_0", "Learning_Rate/Group_1",
+                             "Learning_Rate/Group_2"}
+        for epoch in (1, 2):
+            assert tags["Learning_Rate/Group_0"][epoch] == pytest.approx(1e-2)
+            assert tags["Learning_Rate/Group_1"][epoch] == pytest.approx(1e-3)
+            assert tags["Learning_Rate/Group_2"][epoch] == pytest.approx(5e-3)
 
 
 class TestCheckpointRoundtrip:

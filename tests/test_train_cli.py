@@ -68,6 +68,85 @@ def test_cli_flags_superset_of_reference(module_name, ref_rel):
     assert not missing, f"{module_name} missing reference flags: {missing}"
 
 
+def _reference_arg_specs(path):
+    """Mechanically extract every ``add_argument('--flag', ...)`` call from a
+    reference script via ast — the parsers live inside ``if __name__``
+    blocks, so they can't be imported. Literal kwargs only; non-literal
+    defaults surface as '<expr:...>' and are compared by unparse text."""
+    import ast
+
+    specs = {}
+    for node in ast.walk(ast.parse(open(path).read())):
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "add_argument" and node.args
+                and isinstance(node.args[0], ast.Constant)
+                and str(node.args[0].value).startswith("--")):
+            kw = {}
+            for k in node.keywords:
+                if k.arg in ("default", "action", "required", "choices"):
+                    try:
+                        kw[k.arg] = ast.literal_eval(k.value)
+                    except (ValueError, SyntaxError):
+                        kw[k.arg] = f"<expr:{ast.unparse(k.value)}>"
+            specs[node.args[0].value] = kw
+    return specs
+
+
+# Flags where our default deliberately differs from the reference's —
+# currently none; any future exception must be listed as
+# (module, flag): (ref_default, our_default, reason).
+DEFAULT_EXCEPTIONS = {}
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_ROOT),
+                    reason="reference tree not present")
+@pytest.mark.parametrize("module_name,ref_rel", CLI_PAIRS,
+                         ids=[m.rsplit(".", 1)[-1] for m, _ in CLI_PAIRS])
+def test_cli_flag_defaults_match_reference(module_name, ref_rel):
+    """Default VALUES (not just names) are part of the frozen CLI contract
+    (VERDICT r2 #6; reference train/train_latent_vit.py:388-421): for every
+    reference flag, our parser's default / required-ness / choices must
+    match the reference parser's."""
+    import importlib
+
+    mod = importlib.import_module(module_name)
+    ours = {}
+    for a in mod.build_parser()._actions:
+        for s in a.option_strings:
+            if s.startswith("--"):
+                ours[s] = a
+    mismatches = []
+    for flag, kw in _reference_arg_specs(
+            os.path.join(REFERENCE_ROOT, ref_rel)).items():
+        if flag not in ours:
+            continue  # the superset test reports missing flags
+        a = ours[flag]
+        if kw.get("required"):
+            if not a.required:
+                mismatches.append(f"{flag}: reference requires it, ours "
+                                  "doesn't")
+            continue
+        ref_default = kw.get("default")
+        if kw.get("action") == "store_true" and ref_default is None:
+            ref_default = False
+        if kw.get("action") == "store_false" and ref_default is None:
+            ref_default = True
+        if (module_name, flag) in DEFAULT_EXCEPTIONS:
+            exc_ref, exc_ours, _ = DEFAULT_EXCEPTIONS[(module_name, flag)]
+            assert ref_default == exc_ref and a.default == exc_ours
+            continue
+        if a.default != ref_default:
+            mismatches.append(
+                f"{flag}: ref default={ref_default!r} ours={a.default!r}")
+        ref_choices = kw.get("choices")
+        if (ref_choices and not isinstance(ref_choices, str)
+                and a.choices is not None
+                and not set(ref_choices) <= set(a.choices)):
+            mismatches.append(
+                f"{flag}: ref choices={ref_choices!r} ours={a.choices!r}")
+    assert not mismatches, f"{module_name}: {mismatches}"
+
+
 class TestTrainLatentViTCLI:
     def test_end_to_end(self, tmp_path):
         from fer_vit_tpu.train.train_latent_vit import build_parser, main
