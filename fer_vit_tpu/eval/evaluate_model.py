@@ -61,6 +61,21 @@ def model_from_config(model_config: dict):
             num_classes=model_config["num_classes"],
             dropout=model_config.get("dropout", 0.3),
         )
+    if "img_size" in model_config or "patch_size" in model_config:
+        # rebuild extension: image checkpoints route here too (the
+        # reference splits this into eval/evaluate_image_vit.py)
+        from fer_vit_tpu.models import ImageViT
+
+        return ImageViT(
+            img_size=model_config.get("img_size", 224),
+            patch_size=model_config.get("patch_size", 16),
+            embed_dim=model_config.get("embed_dim", 768),
+            depth=model_config.get("depth", 12),
+            heads=model_config.get("heads", 12),
+            mlp_dim=model_config.get("mlp_dim", 3072),
+            num_classes=model_config["num_classes"],
+            dropout=model_config.get("dropout", 0.1),
+        )
     common = dict(
         latent_dim=model_config.get("latent_dim", 512),
         seq_len=model_config.get("seq_len", 18),
@@ -83,8 +98,78 @@ def model_from_config(model_config: dict):
     return LatentViT(**common)
 
 
+def _is_torch_checkpoint(path: str) -> bool:
+    """Reference-format checkpoints are torch zip archives (or legacy
+    pickles); ours are flax msgpack. Sniff the container, not the suffix —
+    both sides name the files ``*.pt``."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        return True
+    with open(path, "rb") as f:
+        return f.read(2)[:1] == b"\x80"  # pickle protocol marker
+
+
+def load_torch_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
+    """Load a REFERENCE-format torch checkpoint (torch-checkpoint interop,
+    reference: eval/evaluate_model.py:30-132): rebuild the model from the
+    embedded config (``config``/``args``/defaults), convert the state_dict
+    into our pytrees, → (model, variables, full_config)."""
+    import torch
+
+    from fer_vit_tpu.interop import (
+        from_torch_state_dict,
+        model_kind_from_config,
+    )
+
+    try:
+        ckpt = torch.load(checkpoint_path, map_location="cpu",
+                          weights_only=False)
+    except TypeError:  # torch < 2.6 has no weights_only kwarg
+        ckpt = torch.load(checkpoint_path, map_location="cpu")
+    if "config" in ckpt:
+        config = ckpt["config"]
+        model_config = config.get("model", config)
+    elif "args" in ckpt:
+        config = vars(ckpt["args"])
+        model_config = config
+    else:
+        print("Warning: Config not found in checkpoint, using default values")
+        config = {}
+        model_config = {}
+    model = model_from_config(model_config)
+    if "model_state_dict" in ckpt:
+        sd = ckpt["model_state_dict"]
+    elif "model_state" in ckpt:
+        sd = ckpt["model_state"]
+    else:
+        raise KeyError("Model state dict not found in checkpoint")
+
+    if "img_size" in model_config or "patch_size" in model_config:
+        sample = jnp.zeros((1, model_config.get("img_size", 224),
+                            model_config.get("img_size", 224), 3))
+    else:
+        sample = jnp.zeros((1, model_config.get("seq_len", 18) or 18,
+                            model_config.get("latent_dim", 512)))
+    template = model.init(jax.random.key(0), sample)
+    kind = model_kind_from_config(model_config)
+    params, batch_stats = from_torch_state_dict(
+        kind, sd, template["params"], template.get("batch_stats"),
+        config=model_config)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    print(f"Loaded torch checkpoint ({kind}, epoch "
+          f"{ckpt.get('epoch', 'unknown')}) from {checkpoint_path}")
+    return model, variables, (config if isinstance(config, dict) else {})
+
+
 def load_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
-    """→ (model, variables, full_config)."""
+    """→ (model, variables, full_config). Polymorphic over BOTH checkpoint
+    containers: this framework's flax-msgpack files and reference-format
+    torch ``.pt`` files (converted on the fly via fer_vit_tpu.interop)."""
+    if _is_torch_checkpoint(checkpoint_path):
+        return load_torch_model(checkpoint_path)
     raw = ExperimentLogger.load_checkpoint(checkpoint_path)
     config = raw["config"]
     model_config = config.get("model", config)

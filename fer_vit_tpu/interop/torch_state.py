@@ -1,0 +1,400 @@
+"""Bidirectional torch ``state_dict`` ↔ Flax pytree converters.
+
+One mapping table per FER model family; the table is the single source of
+truth for both directions. Reference key names come from the reference
+module structure (reference: models_fer_vit/latent_vit.py:5-48,
+latent_vit_v2.py:7-101, latent_cnn.py:14-438, image_vit.py:47-166,
+hybrid_latent_vit.py:18-265); our paths are the Flax trees of
+:mod:`fer_vit_tpu.models`.
+
+Transforms (torch layout → flax layout):
+
+* ``lin``    — Linear weight (O, I) ↔ kernel (I, O)
+* ``conv1d`` — Conv1d weight (O, I, k) ↔ kernel (k, I, O)
+* ``conv2d`` — Conv2d weight (O, I, kh, kw) ↔ kernel (kh, kw, I, O)
+* ``copy``   — identical layout (biases, norms, tokens, embeddings)
+
+BatchNorm ``running_mean/var`` map to the ``batch_stats`` collection;
+``num_batches_tracked`` is dropped on import and written as 0 on export
+(torch's strict ``load_state_dict`` wants the key, never the value).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+# (torch_key, collection, path-in-tree, transform)
+Entry = Tuple[str, str, Tuple[str, ...], str]
+
+
+def _t2j(arr: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "lin":
+        return arr.T
+    if kind == "conv1d":
+        return arr.transpose(2, 1, 0)
+    if kind == "conv2d":
+        return arr.transpose(2, 3, 1, 0)
+    return arr
+
+
+def _j2t(arr: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "lin":
+        return arr.T
+    if kind == "conv1d":
+        return arr.transpose(2, 1, 0)
+    if kind == "conv2d":
+        return arr.transpose(3, 2, 0, 1)
+    return arr
+
+
+# -- per-family mapping tables ----------------------------------------------
+
+
+def _linear(tk: str, path: Tuple[str, ...], bias: bool = True) -> List[Entry]:
+    out = [(f"{tk}.weight", "params", path + ("kernel",), "lin")]
+    if bias:
+        out.append((f"{tk}.bias", "params", path + ("bias",), "copy"))
+    return out
+
+
+def _norm(tk: str, path: Tuple[str, ...]) -> List[Entry]:
+    """LayerNorm / BN affine: torch weight/bias → flax scale/bias."""
+    return [
+        (f"{tk}.weight", "params", path + ("scale",), "copy"),
+        (f"{tk}.bias", "params", path + ("bias",), "copy"),
+    ]
+
+
+def _bn(tk: str, path: Tuple[str, ...]) -> List[Entry]:
+    return _norm(tk, path) + [
+        (f"{tk}.running_mean", "batch_stats", path + ("mean",), "copy"),
+        (f"{tk}.running_var", "batch_stats", path + ("var",), "copy"),
+    ]
+
+
+def _conv1d(tk: str, path: Tuple[str, ...], bias: bool = False) -> List[Entry]:
+    out = [(f"{tk}.weight", "params", path + ("kernel",), "conv1d")]
+    if bias:
+        out.append((f"{tk}.bias", "params", path + ("bias",), "copy"))
+    return out
+
+
+def _conv2d(tk: str, path: Tuple[str, ...], bias: bool = True) -> List[Entry]:
+    out = [(f"{tk}.weight", "params", path + ("kernel",), "conv2d")]
+    if bias:
+        out.append((f"{tk}.bias", "params", path + ("bias",), "copy"))
+    return out
+
+
+def _encoder_layer(tk: str, path: Tuple[str, ...]) -> List[Entry]:
+    """torch.nn.TransformerEncoderLayer → our TransformerEncoderLayer."""
+    a = path + ("self_attn",)
+    return [
+        (f"{tk}.self_attn.in_proj_weight", "params",
+         a + ("in_proj_kernel",), "lin"),
+        (f"{tk}.self_attn.in_proj_bias", "params",
+         a + ("in_proj_bias",), "copy"),
+        (f"{tk}.self_attn.out_proj.weight", "params",
+         a + ("out_proj_kernel",), "lin"),
+        (f"{tk}.self_attn.out_proj.bias", "params",
+         a + ("out_proj_bias",), "copy"),
+        *_linear(f"{tk}.linear1", path + ("linear1",)),
+        *_linear(f"{tk}.linear2", path + ("linear2",)),
+        *_norm(f"{tk}.norm1", path + ("norm1",)),
+        *_norm(f"{tk}.norm2", path + ("norm2",)),
+    ]
+
+
+def _latent_vit_entries(depth: int, prefix_t: str = "",
+                        prefix_j: Tuple[str, ...] = ()) -> List[Entry]:
+    """Reference LatentViT (models_fer_vit/latent_vit.py:19-36)."""
+    p, j = prefix_t, prefix_j
+    entries: List[Entry] = [
+        (f"{p}cls_token", "params", j + ("cls_token",), "copy"),
+        (f"{p}pos_emb", "params", j + ("pos_emb",), "copy"),
+        *_linear(f"{p}input_proj", j + ("input_proj",)),
+        *_norm(f"{p}mlp_head.0", j + ("head_norm",)),
+        *_linear(f"{p}mlp_head.1", j + ("head",)),
+    ]
+    for i in range(depth):
+        entries += _encoder_layer(
+            f"{p}transformer.layers.{i}",
+            j + ("transformer", f"layers_{i}"))
+    return entries
+
+
+def _latent_vit_v2_entries(depth: int, flags: Dict[str, Any]) -> List[Entry]:
+    """Reference LatentViTv2 (models_fer_vit/latent_vit_v2.py:28-75): the
+    LWN's 18 per-layer norms are STACKED into our (18, D) scale/bias —
+    handled by the multi-key transform below."""
+    entries = _latent_vit_entries(depth, "backbone.", ("backbone",))
+    if flags.get("use_leam"):
+        entries.append(("leam.layer_weights", "params",
+                        ("leam", "layer_weights"), "copy"))
+    if flags.get("use_spe"):
+        entries += [
+            ("spe.group_embed.weight", "params",
+             ("spe", "group_embed"), "copy"),
+            ("spe.layer_embed.weight", "params",
+             ("spe", "layer_embed"), "copy"),
+        ]
+    # use_lwn handled separately (stacked); see _convert_lwn
+    return entries
+
+
+def _latent_cnn_entries(model_type: str, n_conv: int = 4,
+                        n_res: int = 2) -> List[Entry]:
+    e: List[Entry] = []
+    if model_type == "standard":
+        for i in range(n_conv):
+            e += _conv1d(f"conv_layers.{i}.conv", (f"conv_{i}", "conv"))
+            e += _bn(f"conv_layers.{i}.bn", (f"conv_{i}", "bn"))
+        for i in range(n_res):
+            e += _conv1d(f"res_blocks.{i}.conv1", (f"res_{i}", "conv1"))
+            e += _bn(f"res_blocks.{i}.bn1", (f"res_{i}", "bn1"))
+            e += _conv1d(f"res_blocks.{i}.conv2", (f"res_{i}", "conv2"))
+            e += _bn(f"res_blocks.{i}.bn2", (f"res_{i}", "bn2"))
+        e += _linear("classifier.1", ("classifier", "fc1"))
+        e += _bn("classifier.2", ("classifier", "bn"))
+        e += _linear("classifier.5", ("classifier", "fc2"))
+    elif model_type == "light":
+        for i, t in enumerate((0, 4, 8)):
+            e += _conv1d(f"encoder.{t}", (f"conv_{i}",), bias=True)
+            e += _bn(f"encoder.{t + 1}", (f"bn_{i}",))
+        e += _linear("classifier.1", ("fc1",))
+        e += _linear("classifier.4", ("fc2",))
+    elif model_type == "deep":
+        e += _linear("input_proj.0", ("input_proj",))
+        e += _norm("input_proj.1", ("input_norm",))
+        for s in range(3):
+            e += _conv1d(f"conv_block{s + 1}.0.conv",
+                         (f"stage{s}_conv", "conv"))
+            e += _bn(f"conv_block{s + 1}.0.bn", (f"stage{s}_conv", "bn"))
+            n_res_s = 2 if s == 2 else 1
+            for r in range(n_res_s):
+                tk = f"conv_block{s + 1}.{r + 1}"
+                jk = f"stage{s}_res{r}"
+                e += _conv1d(f"{tk}.conv1", (jk, "conv1"))
+                e += _bn(f"{tk}.bn1", (jk, "bn1"))
+                e += _conv1d(f"{tk}.conv2", (jk, "conv2"))
+                e += _bn(f"{tk}.bn2", (jk, "bn2"))
+        e += _conv1d("attention.0", ("attn",), bias=True)
+        e += _linear("classifier.0", ("classifier", "fc1"))
+        e += _bn("classifier.1", ("classifier", "bn"))
+        e += _linear("classifier.4", ("classifier", "fc2"))
+    elif model_type == "2d":
+        for i, t in enumerate((0, 4, 9)):
+            e += _conv2d(f"features.{t}", (f"conv_{i}",))
+            e += _bn(f"features.{t + 1}", (f"bn_{i}",))
+        e += _linear("classifier.1", ("classifier", "fc1"))
+        e += _bn("classifier.2", ("classifier", "bn"))
+        e += _linear("classifier.5", ("classifier", "fc2"))
+    else:
+        raise ValueError(f"unknown latent_cnn model_type: {model_type!r}")
+    return e
+
+
+def _image_vit_entries(depth: int) -> List[Entry]:
+    entries: List[Entry] = [
+        ("cls_token", "params", ("cls_token",), "copy"),
+        ("pos_embed", "params", ("pos_embed",), "copy"),
+        *_conv2d("patch_embed.proj", ("patch_embed", "proj")),
+        *_norm("norm", ("norm",)),
+        *_linear("head", ("head",)),
+    ]
+    for i in range(depth):
+        entries += _encoder_layer(f"transformer.layers.{i}",
+                                  ("transformer", f"layers_{i}"))
+    return entries
+
+
+def _hybrid_entries(depth: int, use_adapter: bool) -> List[Entry]:
+    """Reference HybridLatentViT (models_fer_vit/hybrid_latent_vit.py:79-114):
+    the trunk is extracted timm Blocks (transformer.{i}.attn.qkv ...)."""
+    entries: List[Entry] = [
+        ("cls_token", "params", ("cls_token",), "copy"),
+        ("pos_embed", "params", ("pos_embed",), "copy"),
+        *_linear("input_proj", ("input_proj",)),
+        *_norm("head.0", ("head_norm",)),
+        *_linear("head.2", ("head",)),
+    ]
+    for i in range(depth):
+        t, j = f"transformer.{i}", (f"blocks_{i}",)
+        entries += [
+            *_norm(f"{t}.norm1", j + ("norm1",)),
+            *_linear(f"{t}.attn.qkv", j + ("attn", "qkv")),
+            *_linear(f"{t}.attn.proj", j + ("attn", "proj")),
+            *_norm(f"{t}.norm2", j + ("norm2",)),
+            *_linear(f"{t}.mlp.fc1", j + ("fc1",)),
+            *_linear(f"{t}.mlp.fc2", j + ("fc2",)),
+        ]
+    if use_adapter:
+        for i in range(depth):
+            t, j = f"adapters.{i}", (f"adapters_{i}",)
+            entries += [
+                *_linear(f"{t}.adapter.0", j + ("down",)),
+                *_linear(f"{t}.adapter.2", j + ("up",)),
+                (f"{t}.alpha", "params", j + ("alpha",), "copy"),
+            ]
+    return entries
+
+
+# -- tree access --------------------------------------------------------------
+
+
+def _get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _set(tree, path, value):
+    for k in path[:-1]:
+        tree = tree.setdefault(k, {})
+    tree[path[-1]] = value
+
+
+def _infer_depth(params: Dict[str, Any], key: str, prefix: str) -> int:
+    sub = _get(params, key.split("/")) if key else params
+    return sum(1 for k in sub if str(k).startswith(prefix))
+
+
+def entries_for(model_kind: str, params: Dict[str, Any],
+                config: Dict[str, Any]) -> List[Entry]:
+    """The mapping table for one model family, sized from the live tree."""
+    if model_kind == "latent_vit":
+        depth = _infer_depth(params, "transformer", "layers_")
+        return _latent_vit_entries(depth)
+    if model_kind == "latent_vit_v2":
+        depth = _infer_depth(params, "backbone/transformer", "layers_")
+        return _latent_vit_v2_entries(depth, config)
+    if model_kind.startswith("latent_cnn_"):
+        return _latent_cnn_entries(model_kind[len("latent_cnn_"):])
+    if model_kind == "image_vit":
+        depth = _infer_depth(params, "transformer", "layers_")
+        return _image_vit_entries(depth)
+    if model_kind == "hybrid":
+        depth = sum(1 for k in params if str(k).startswith("blocks_"))
+        use_adapter = any(str(k).startswith("adapters_") for k in params)
+        return _hybrid_entries(depth, use_adapter)
+    raise ValueError(f"unknown model kind: {model_kind!r}")
+
+
+def model_kind_from_config(model_config: Dict[str, Any]) -> str:
+    """The reference's checkpoint-discrimination logic as a kind string
+    (reference: eval/evaluate_model.py:50-114 + our evaluate_model)."""
+    if "model_size" in model_config:
+        return "hybrid"
+    if "model_type" in model_config:
+        return "latent_cnn_" + str(model_config["model_type"])
+    if any(model_config.get(k) for k in
+           ("use_lwn", "use_spe", "use_leam", "use_lwn_residual")):
+        return "latent_vit_v2"
+    if "img_size" in model_config or "patch_size" in model_config:
+        return "image_vit"
+    return "latent_vit"
+
+
+# -- LWN: 18 torch LayerNorms ↔ one stacked (L, D) pair ----------------------
+
+
+def _convert_lwn_from_torch(sd, params) -> None:
+    if "lwn" not in params:
+        return
+    L = params["lwn"]["scale"].shape[0]
+    params["lwn"]["scale"] = np.stack(
+        [np.asarray(sd[f"lwn.norms.{i}.weight"]) for i in range(L)])
+    params["lwn"]["bias"] = np.stack(
+        [np.asarray(sd[f"lwn.norms.{i}.bias"]) for i in range(L)])
+    if "lwn.gate" in sd and "gate" in params["lwn"]:
+        params["lwn"]["gate"] = np.asarray(sd["lwn.gate"])
+
+
+def _convert_lwn_to_torch(params, out: Dict[str, np.ndarray]) -> None:
+    if "lwn" not in params:
+        return
+    scale = np.asarray(params["lwn"]["scale"])
+    for i in range(scale.shape[0]):
+        out[f"lwn.norms.{i}.weight"] = scale[i]
+        out[f"lwn.norms.{i}.bias"] = np.asarray(params["lwn"]["bias"])[i]
+    if "gate" in params["lwn"]:
+        out["lwn.gate"] = np.asarray(params["lwn"]["gate"])
+
+
+# -- public API ---------------------------------------------------------------
+
+
+def from_torch_state_dict(model_kind: str, sd: Dict[str, Any],
+                          template_params: Dict[str, Any],
+                          template_batch_stats: Dict[str, Any] | None = None,
+                          config: Dict[str, Any] | None = None):
+    """torch state_dict → (params, batch_stats) matching the templates.
+
+    ``sd`` values may be torch tensors or numpy arrays. Every template leaf
+    must be covered by the mapping (missing torch keys raise), so a
+    reference checkpoint either converts completely or fails loudly.
+    """
+    import jax
+
+    sd = {k: np.asarray(getattr(v, "detach", lambda: v)().cpu().numpy()
+                        if hasattr(v, "detach") else v)
+          for k, v in sd.items()}
+    params = jax.tree_util.tree_map(np.asarray, template_params)
+    batch_stats = jax.tree_util.tree_map(
+        np.asarray, template_batch_stats or {})
+    covered = {("params",) + e[2] if e[1] == "params" else ("batch_stats",)
+               + e[2] for e in entries_for(model_kind, params, config or {})}
+    for tk, coll, path, kind in entries_for(model_kind, params, config or {}):
+        tree = params if coll == "params" else batch_stats
+        if tk not in sd:
+            raise KeyError(f"{model_kind}: torch key {tk!r} missing "
+                           f"(wanted for {'/'.join(path)})")
+        target = _get(tree, path)
+        arr = _t2j(sd[tk], kind).astype(np.asarray(target).dtype)
+        if arr.shape != np.asarray(target).shape:
+            raise ValueError(
+                f"{model_kind}: {tk} → {'/'.join(path)} shape "
+                f"{arr.shape} != template {np.asarray(target).shape}")
+        _set(tree, path, arr)
+    if model_kind == "latent_vit_v2":
+        _convert_lwn_from_torch(sd, params)
+    _ = covered  # (kept for debuggability)
+    return params, batch_stats
+
+
+def to_torch_state_dict(model_kind: str, params: Dict[str, Any],
+                        batch_stats: Dict[str, Any] | None = None,
+                        config: Dict[str, Any] | None = None,
+                        as_tensors: bool = True) -> Dict[str, Any]:
+    """(params, batch_stats) → a reference-keyed torch state_dict."""
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats or {})
+    out: Dict[str, np.ndarray] = {}
+    bn_prefixes = set()
+    for tk, coll, path, kind in entries_for(model_kind, params, config or {}):
+        tree = params if coll == "params" else batch_stats
+        out[tk] = _j2t(np.asarray(_get(tree, path)), kind)
+        if tk.endswith(".running_mean"):
+            bn_prefixes.add(tk[: -len(".running_mean")])
+    for p in bn_prefixes:
+        out[f"{p}.num_batches_tracked"] = np.asarray(0, np.int64)
+    if model_kind == "latent_vit_v2":
+        _convert_lwn_to_torch(params, out)
+        if "spe" in params:
+            # the reference SPE registers a constant group-index buffer
+            # (modules/semantic_pe.py) — reproduce it for strict loading
+            L = np.asarray(params["spe"]["layer_embed"]).shape[0]
+            groups = np.zeros(L, np.int64)
+            groups[4:12] = 1
+            groups[12:] = 2
+            out["spe.groups"] = groups
+    if as_tensors:
+        import torch
+
+        out = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+               for k, v in out.items()}
+    return out
