@@ -73,10 +73,22 @@ def bench_end_to_end(batch: int = BATCH, n_iters: int = ITERS) -> float:
     # border-exact bias map; exact, tests/test_folding.py) measured
     # wall-clock NEUTRAL (1029.8 vs 1035.6 img/s) — XLA already absorbs
     # the affine into its producer fusions — so it stays off here.
+    # act_quant: int8 storage of the bandwidth-bound trunk activations
+    # (spatial ≥ BENCH_ACT_QUANT_HW, default 64 when enabled). Lossy;
+    # measured + documented in PARITY.md — off unless it wins.
+    aq_hw = (int(os.environ.get("BENCH_ACT_QUANT_HW", "64"))
+             if os.environ.get("BENCH_ACT_QUANT", "0") == "1" else 0)
     enc = PSpEncoder(dtype=jnp.bfloat16, fuse_bn=True,
                      s2_mode=os.environ.get("BENCH_S2_MODE", "direct"),
-                     fold_bn1=os.environ.get("BENCH_FOLD_BN1", "0") == "1")
+                     fold_bn1=os.environ.get("BENCH_FOLD_BN1", "0") == "1",
+                     act_quant_min_hw=aq_hw)
     enc_vars = enc.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
+    if aq_hw:
+        from fer_vit_tpu.encoders.psp import calibrate_act_quant
+
+        cal = np.random.default_rng(7).uniform(
+            0, 255, size=(32, 256, 256, 3)).astype(np.float32)
+        enc_vars = calibrate_act_quant(enc, dict(enc_vars), cal)
     clf = LatentViT(depth=2, dtype=jnp.bfloat16)
     clf_vars = clf.init(jax.random.key(1), jnp.zeros((1, 18, 512)))
     images = jnp.asarray(

@@ -39,6 +39,41 @@ IR_SE_50_PLAN: Tuple[Tuple[int, int, int], ...] = (
 )
 
 
+class ActQuant(nn.Module):
+    """int8 activation STORAGE tap (VERDICT r2 perf item (a)).
+
+    The early trunk is HBM-bandwidth-bound (PARITY.md op table: the
+    stride-2 small-channel convs run at 24-39 TF/s because their multi-GB
+    bf16 activations dominate traffic). Inserting quantize→dequantize at a
+    fusion boundary makes XLA materialize the crossing tensor as int8 —
+    halving that pass's HBM bytes — while the convs themselves stay bf16
+    (dequant fuses into the consumer's input read, quant into the
+    producer's epilogue).
+
+    Scales are STATIC per-tap scalars held in the ``act_quant`` variable
+    collection: a dynamic max(|x|) scale would re-read the full tensor and
+    spend the bandwidth it's trying to save. Calibrate once with
+    ``calibrate=True`` + ``mutable=["act_quant"]`` on a representative
+    batch (:func:`fer_vit_tpu.encoders.psp.calibrate_act_quant`), then run
+    with the frozen scales. Lossy (~0.4 % per-tensor rel error at int8);
+    keep off for parity-critical runs.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+    calibrate: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.variable("act_quant", "scale",
+                              lambda: jnp.ones((), jnp.float32))
+        if self.calibrate:
+            scale.value = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+            return x
+        s = jnp.maximum(scale.value, 1e-12)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127.0, 127.0)
+        return q.astype(jnp.int8).astype(self.dtype) * s.astype(self.dtype)
+
+
 class PReLU(nn.Module):
     """Per-channel PReLU (torch nn.PReLU(num_parameters=C), init 0.25)."""
 
@@ -332,6 +367,11 @@ class BottleneckIRSE(nn.Module):
     # folding.fold_psp_variables(..., fold_bn1=True). Exclusive with
     # fused_residual (which consumes the intact bn1 variables).
     fold_bn1: bool = False
+    # int8 storage of the conv1→conv2 intermediate (the largest tensor in
+    # stride-2 units: full-resolution spatial at out_channels). 0 = off;
+    # otherwise quantize when the spatial side is ≥ this value.
+    act_quant_min_hw: int = 0
+    act_quant_calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -418,6 +458,11 @@ class BottleneckIRSE(nn.Module):
                           param_dtype=self.param_dtype, name="conv1")(res)
         res = PReLU(self.out_channels, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="prelu")(res)
+        if (self.act_quant_min_hw
+                and res.shape[1] >= self.act_quant_min_hw):
+            res = ActQuant(dtype=self.dtype,
+                           calibrate=self.act_quant_calibrate,
+                           name="aq_mid")(res)
         assert self.s2_mode in _S2_MODES, self.s2_mode
         if self.s2_mode != "direct" and self.stride == 2:
             conv2_cls = (ConvS2ViaSpaceToDepth if self.s2_mode == "s2d"
@@ -450,6 +495,11 @@ class IRSEBackbone(nn.Module):
     fused_residual: bool = False
     fused_interpret: bool = False
     fold_bn1: bool = False
+    # int8 activation storage for the bandwidth-bound region: quantize the
+    # input-layer output, each unit's conv1→conv2 intermediate, and each
+    # inter-unit tensor whose spatial side is ≥ this value. 0 = off.
+    act_quant_min_hw: int = 0
+    act_quant_calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -457,6 +507,7 @@ class IRSEBackbone(nn.Module):
     def __call__(self, x: jax.Array):
         bn_kw = dict(use_running_average=True, epsilon=1e-5, momentum=0.9,
                      dtype=self.dtype, param_dtype=self.param_dtype)
+        aq = self.act_quant_min_hw
         x = x.astype(self.dtype)
         x = nn.Conv(64, (3, 3), padding=1, use_bias=self.fuse_bn,
                     dtype=self.dtype,
@@ -465,6 +516,10 @@ class IRSEBackbone(nn.Module):
             x = nn.BatchNorm(name="input_bn", **bn_kw)(x)
         x = PReLU(64, dtype=self.dtype, param_dtype=self.param_dtype,
                   name="input_prelu")(x)
+        if aq and x.shape[1] >= aq:
+            x = ActQuant(dtype=self.dtype,
+                         calibrate=self.act_quant_calibrate,
+                         name="aq_input")(x)
 
         feats = {}
         unit_idx = 0
@@ -477,9 +532,16 @@ class IRSEBackbone(nn.Module):
                                    fused_residual=self.fused_residual,
                                    fused_interpret=self.fused_interpret,
                                    fold_bn1=self.fold_bn1,
+                                   act_quant_min_hw=aq,
+                                   act_quant_calibrate=self.act_quant_calibrate,
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name=f"body_{unit_idx}")(x)
+                if aq and x.shape[1] >= aq and unit_idx not in self.taps:
+                    # taps feed the style heads — keep them exact
+                    x = ActQuant(dtype=self.dtype,
+                                 calibrate=self.act_quant_calibrate,
+                                 name=f"aq_out_{unit_idx}")(x)
                 if unit_idx in self.taps:
                     feats[unit_idx] = x
                 unit_idx += 1

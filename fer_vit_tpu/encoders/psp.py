@@ -185,6 +185,11 @@ class PSpEncoder(nn.Module):
     # Full bn1 folding (kernel-scaled conv1 + border-exact bias map; see
     # encoders/folding.py). Needs fuse_bn + fold_bn1-folded variables.
     fold_bn1: bool = False
+    # int8 activation storage for trunk tensors with spatial side ≥ this
+    # value (0 = off). Lossy — calibrate scales first via
+    # :func:`calibrate_act_quant`. See encoders/irse.py::ActQuant.
+    act_quant_min_hw: int = 0
+    act_quant_calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -201,6 +206,8 @@ class PSpEncoder(nn.Module):
             plan=self.plan, taps=self.taps, fuse_bn=self.fuse_bn,
             s2_mode=self.s2_mode, fused_residual=self.fused_residual,
             fused_interpret=self.fused_interpret, fold_bn1=self.fold_bn1,
+            act_quant_min_hw=self.act_quant_min_hw,
+            act_quant_calibrate=self.act_quant_calibrate,
             dtype=self.dtype,
             param_dtype=self.param_dtype, name="backbone",
         )(x)
@@ -249,6 +256,33 @@ def preprocess_images(images: jax.Array, size: int = 256) -> jax.Array:
         x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]),
                              method=jax.image.ResizeMethod.LINEAR)
     return (x - 0.5) / 0.5
+
+
+def calibrate_act_quant(encoder: PSpEncoder, variables, sample_images,
+                        margin: float = 1.1):
+    """One calibration forward for int8 activation storage: runs the
+    encoder with ``act_quant_calibrate=True`` on a representative batch and
+    returns ``variables`` with the per-tap scales (max|x|·margin / 127)
+    filled into the ``act_quant`` collection. The returned variables feed an
+    ``act_quant_min_hw``-enabled encoder."""
+    import dataclasses
+
+    import jax
+
+    cal_enc = dataclasses.replace(encoder, act_quant_calibrate=True)
+    # seed the collection structure so calibrate-mode apply can mutate it
+    if "act_quant" not in variables:
+        sample = jnp.zeros((1,) + tuple(sample_images.shape[1:]),
+                           jnp.float32)
+        aq0 = cal_enc.init(jax.random.key(0), sample).get("act_quant", {})
+        variables = dict(variables, act_quant=aq0)
+    _, upd = cal_enc.apply(variables, preprocess_images(
+        jnp.asarray(sample_images), size=encoder.input_size),
+        mutable=["act_quant"])
+    scales = jax.tree_util.tree_map(lambda s: s * margin, upd["act_quant"])
+    out = dict(variables)
+    out["act_quant"] = scales
+    return out
 
 
 class EncoderWrapper:

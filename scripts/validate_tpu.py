@@ -135,10 +135,45 @@ STAGES = {"encoder": stage_encoder, "train": stage_train,
 
 
 def main() -> None:
-    wanted = sys.argv[1:] or list(STAGES)
+    """Run stages; emit a machine-readable record (VERDICT r2 #8) to
+    VALIDATE_r<k>.json (k from $FERVIT_ROUND, default file VALIDATE.json)
+    so the driver/judge can see hardware validation without re-running."""
+    import json
+
+    import jax
+
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")] or list(STAGES)
+    record = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "stages": {},
+    }
+    ok = True
     for name in wanted:
-        STAGES[name]()
-    print("VALIDATE_TPU OK:", ", ".join(wanted))
+        t0 = time.perf_counter()
+        try:
+            STAGES[name]()
+            record["stages"][name] = {
+                "ok": True, "seconds": round(time.perf_counter() - t0, 1)}
+        except Exception as e:  # record, keep going, fail at the end
+            ok = False
+            record["stages"][name] = {
+                "ok": False, "seconds": round(time.perf_counter() - t0, 1),
+                "error": f"{type(e).__name__}: {e}"}
+            print(f"{name} FAILED: {type(e).__name__}: {e}", flush=True)
+    record["ok"] = ok
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rnd = os.environ.get("FERVIT_ROUND")
+    out_path = os.path.join(
+        repo, f"VALIDATE_r{int(rnd):02d}.json" if rnd else "VALIDATE.json")
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=2)
+    print(f"record → {out_path}")
+    print(("VALIDATE_TPU OK: " if ok else "VALIDATE_TPU FAIL: ")
+          + ", ".join(wanted))
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -1,8 +1,8 @@
 """The one-command pretrained-fidelity harness must run end-to-end in
-synthetic mode (VERDICT r1 #5). pSp and StyleGAN2 are skipped here only
-because they have dedicated parity tests (test_psp_parity.py,
-test_stylegan2_parity.py) and dominate runtime; the full five-component run
-is exercised manually / with real weights via the README invocation."""
+synthetic mode — ALL FIVE components (VERDICT r2 #5: pSp and StyleGAN2 use
+the same reduced synthetic plans as their dedicated parity tests, so the
+harness *wiring* that a real-weights run would execute is what's under
+test here)."""
 
 import os
 import subprocess
@@ -11,14 +11,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_harness_synthetic_mode(tmp_path):
+def test_harness_synthetic_mode_all_components(tmp_path):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     out_json = str(tmp_path / "report.json")
     result = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts",
                                       "verify_pretrained_parity.py"),
-         "--skip", "psp", "stylegan2", "--out", out_json],
+         "--out", out_json],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
     )
     assert result.returncode == 0, (
@@ -31,5 +31,8 @@ def test_harness_synthetic_mode(tmp_path):
     report = json.load(open(out_json))
     assert report["ok"] is True
     comps = {r["component"] for r in report["rows"]}
-    assert comps == {"arcface", "lpips", "timm_vit"}
+    assert comps == {"psp", "stylegan2", "arcface", "lpips", "timm_vit"}
     assert all(r["ok"] for r in report["rows"])
+    assert set(report["modes"]) == {"psp", "stylegan2", "arcface", "lpips",
+                                    "timm"}
+    assert all(m == "synthetic" for m in report["modes"].values())
