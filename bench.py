@@ -81,6 +81,10 @@ def bench_end_to_end(batch: int = BATCH, n_iters: int = ITERS) -> float:
     enc = PSpEncoder(dtype=jnp.bfloat16, fuse_bn=True,
                      s2_mode=os.environ.get("BENCH_S2_MODE", "direct"),
                      fold_bn1=os.environ.get("BENCH_FOLD_BN1", "0") == "1",
+                     # Pallas fused residual units (eligible Cin%128 units);
+                     # measured end-to-end for the PARITY roofline table
+                     fused_residual=os.environ.get("BENCH_FUSED",
+                                                   "0") == "1",
                      act_quant_min_hw=aq_hw)
     enc_vars = enc.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
     if aq_hw:
