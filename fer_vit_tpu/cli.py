@@ -76,3 +76,7 @@ def generate_latents():
 
 def compute_expression_direction():
     return _run("fer_vit_tpu.analysis.expression_directions")
+
+
+def export_torch_checkpoint():
+    return _run("fer_vit_tpu.interop.export_torch_checkpoint")

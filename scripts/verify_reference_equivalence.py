@@ -50,11 +50,16 @@ REFERENCE_ROOT = os.environ.get("FERVIT_REFERENCE_ROOT", "/root/reference")
 
 
 def _make_data(n, seed, scale=3.0, seq_len=18, dim=512):
+    """Clustered, LEARNABLE data: the 7 class means are FIXED (seed 1234)
+    so train and val splits share the class structure — only the noise and
+    sample draw vary with ``seed``. (A per-split mean draw would make val
+    unlearnable and both frameworks would sit at chance, turning the
+    trajectory-band comparison vacuous.)"""
+    rng_means = np.random.default_rng(1234)
+    means = rng_means.normal(size=(7, seq_len, dim)).astype(np.float32)
     rng = np.random.default_rng(seed)
-    means = rng.normal(size=(7, seq_len, dim)).astype(np.float32)
-    means *= scale / np.linalg.norm(means, axis=(1, 2), keepdims=True) * np.sqrt(seq_len * dim)
     y = (np.arange(n) % 7).astype(np.int64)
-    x = means[y] / np.sqrt(seq_len * dim) * scale + rng.normal(
+    x = means[y] * (scale / np.sqrt(seq_len * dim) * 4.0) + rng.normal(
         size=(n, seq_len, dim)).astype(np.float32)
     return x.astype(np.float32), y
 

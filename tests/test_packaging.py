@@ -63,6 +63,7 @@ def test_console_entry_points_exist(installed):
         "fervit-train-style-extractor", "fervit-vit-fer",
         "fervit-evaluate-model", "fervit-evaluate-image-vit",
         "fervit-generate-latents", "fervit-compute-expression-direction",
+        "fervit-export-torch-checkpoint",
     }
     assert expected <= set(os.listdir(bin_dir))
 
