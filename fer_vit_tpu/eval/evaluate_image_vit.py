@@ -55,7 +55,45 @@ def model_from_config(model_config: dict):
     )
 
 
+def _load_torch_model(checkpoint_path: str):
+    """Reference-format torch ImageViT checkpoint → (model, variables,
+    config, img_size) via fer_vit_tpu.interop (same route as
+    evaluate_model.load_torch_model)."""
+    import torch
+
+    from fer_vit_tpu.interop import from_torch_state_dict
+
+    try:
+        ckpt = torch.load(checkpoint_path, map_location="cpu",
+                          weights_only=False)
+    except TypeError:
+        ckpt = torch.load(checkpoint_path, map_location="cpu")
+    config = ckpt.get("config", {})
+    if not config and "args" in ckpt:
+        config = vars(ckpt["args"])
+    model_config = config.get("model", config)
+    model = model_from_config(model_config)
+    img_size = model_config.get("img_size", 224)
+    sd = ckpt.get("model_state_dict") or ckpt.get("model_state")
+    if sd is None:
+        raise KeyError("Model state dict not found in checkpoint")
+    tv = model.init(jax.random.key(0), jnp.zeros((1, img_size, img_size, 3)))
+    params, batch_stats = from_torch_state_dict(
+        "image_vit", sd, tv["params"], tv.get("batch_stats"),
+        config=model_config)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    print(f"Loaded torch ImageViT checkpoint (epoch "
+          f"{ckpt.get('epoch', 'unknown')}) from {checkpoint_path}")
+    return model, variables, config, img_size
+
+
 def load_model(checkpoint_path: str):
+    from fer_vit_tpu.eval.evaluate_model import _is_torch_checkpoint
+
+    if _is_torch_checkpoint(checkpoint_path):
+        return _load_torch_model(checkpoint_path)
     raw = ExperimentLogger.load_checkpoint(checkpoint_path)
     config = raw["config"]
     model_config = config.get("model", config)
@@ -82,17 +120,30 @@ def load_model(checkpoint_path: str):
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """Reference CLI contract (reference eval/evaluate_image_vit.py:208-213)
+    plus this framework's conventions: ``--device`` is accepted as a
+    documented no-op (device placement is JAX's job), ``--img_size 0``
+    means auto-from-checkpoint (the reference always resizes to the flag's
+    value; auto is the safer default for small custom checkpoints)."""
     parser = argparse.ArgumentParser(description="Evaluate ImageViT")
     parser.add_argument("--checkpoint_path", required=True)
     parser.add_argument("--test_dir", required=True)
-    parser.add_argument("--output_dir", default="eval_results_image")
+    parser.add_argument("--output_dir", default="eval_results")
+    parser.add_argument("--device", default="cuda",
+                        help="accepted for reference CLI compatibility; "
+                             "ignored (JAX manages devices)")
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--img_size", type=int, default=0,
+                        help="resize images to this size (0 = use the "
+                             "checkpoint's img_size)")
     return parser
 
 
 def main(args) -> dict:
     os.makedirs(args.output_dir, exist_ok=True)
     model, variables, config, img_size = load_model(args.checkpoint_path)
+    if getattr(args, "img_size", 0):
+        img_size = args.img_size
     store = ImageStore.load(args.test_dir, img_size)
 
     apply = jax.jit(lambda v, x: model.apply(v, normalize_images(x)))

@@ -327,10 +327,15 @@ def visualize_attention(model, variables, sample_latents: np.ndarray,
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """Reference CLI contract (reference eval/evaluate_model.py:332-337);
+    ``--device`` accepted as a documented no-op (JAX manages devices)."""
     parser = argparse.ArgumentParser(description="Evaluate trained model")
     parser.add_argument("--checkpoint_path", required=True)
     parser.add_argument("--latent_test_dir", required=True)
     parser.add_argument("--output_dir", default="eval_results")
+    parser.add_argument("--device", default="cuda",
+                        help="accepted for reference CLI compatibility; "
+                             "ignored (JAX manages devices)")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--visualize_samples", type=int, default=5)
     return parser

@@ -172,8 +172,9 @@ class HybridLatentViT(nn.Module):
                 )(x)
 
         cls_out = x[:, 0]
-        cls_out = nn.LayerNorm(
-            dtype=self.dtype, param_dtype=self.param_dtype, name="head_norm"
+        cls_out = nn.LayerNorm(  # reference head.0 = torch default eps 1e-5
+            epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="head_norm",
         )(cls_out)
         cls_out = nn.Dropout(self.head_dropout, deterministic=deterministic)(cls_out)
         logits = nn.Dense(

@@ -187,7 +187,8 @@ class LatentCNNDeep(nn.Module):
             256, kernel_init=normal_init(0.01), bias_init=nn.initializers.zeros_init(),
             dtype=self.dtype, param_dtype=self.param_dtype, name="input_proj",
         )(x)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+        x = nn.LayerNorm(epsilon=1e-5,  # torch nn.LayerNorm default eps
+                         dtype=self.dtype, param_dtype=self.param_dtype,
                          name="input_norm")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout * 0.5, deterministic=deterministic)(x)

@@ -76,8 +76,9 @@ class LatentViT(nn.Module):
         )(x, deterministic=deterministic)
 
         cls_out = x[:, 0]
-        cls_out = nn.LayerNorm(
-            dtype=self.dtype, param_dtype=self.param_dtype, name="head_norm"
+        cls_out = nn.LayerNorm(  # torch nn.LayerNorm default eps
+            epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="head_norm",
         )(cls_out)
         logits = nn.Dense(
             self.num_classes,

@@ -126,8 +126,12 @@ class TransformerEncoderLayer(nn.Module):
             param_dtype=self.param_dtype,
             name="self_attn",
         )
-        norm1 = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")
-        norm2 = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")
+        # torch TransformerEncoderLayer layer_norm_eps default is 1e-5
+        # (flax defaults to 1e-6 — a real, if tiny, parity gap)
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="norm2")
         linear1 = nn.Dense(
             self.mlp_dim,
             kernel_init=torch_linear_kernel_init,

@@ -391,7 +391,12 @@ def fused_irse_residual(
         raise ValueError(f"w2 shape {w2.shape} != (3,3,{cout},{cout})")
     if stride not in (1, 2) or H % stride or W % stride:
         raise ValueError(f"bad stride={stride} for H={H}, W={W}")
-    if not interpret:
+    import os as _os
+
+    # FERVIT_FUSED_UNGATE=1: probe-only escape hatch to measure what
+    # actually happens on ineligible shapes (scripts/probe_fused_unit.py);
+    # production callers go through BottleneckIRSE._fused_eligible.
+    if not interpret and not _os.environ.get("FERVIT_FUSED_UNGATE"):
         if cin % 128:
             raise ValueError(
                 f"fused_irse_residual: Cin={cin} — the HBM window DMA "

@@ -196,3 +196,91 @@ class TestPlottingTools:
         out = str(tmp_path / "frac.png")
         plot(out_path=out)  # reference's hardcoded headline series
         assert os.path.exists(out)
+
+
+EVAL_CLI_PAIRS = [
+    ("fer_vit_tpu.eval.evaluate_model", "eval/evaluate_model.py"),
+    ("fer_vit_tpu.eval.evaluate_image_vit", "eval/evaluate_image_vit.py"),
+]
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference tree not present")
+@pytest.mark.parametrize("module_name,ref_rel", EVAL_CLI_PAIRS,
+                         ids=[m.rsplit(".", 1)[-1] for m, _ in EVAL_CLI_PAIRS])
+def test_eval_cli_flags_superset_of_reference(module_name, ref_rel):
+    """The eval CLIs keep every reference flag (--device is a documented
+    no-op; reference eval/evaluate_model.py:332-337)."""
+    import importlib
+    import re
+
+    mod = importlib.import_module(module_name)
+    ours = {s for a in mod.build_parser()._actions
+            for s in a.option_strings if s.startswith("--")}
+    src = open(os.path.join("/root/reference", ref_rel)).read()
+    ref = set(re.findall(r'add_argument\(\s*[\'"](--[\w\-]+)[\'"]', src))
+    assert ref <= ours, f"{module_name} missing reference flags: {ref - ours}"
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference tree not present")
+def test_evaluate_image_vit_loads_reference_torch_checkpoint(tmp_path):
+    """A reference-format torch ImageViT checkpoint evaluates through our
+    image eval CLI with predictions identical to the torch model's."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    torch = pytest.importorskip("torch")
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models_fer_vit.image_vit import ImageViT as RefImageViT
+    finally:
+        sys.path.remove("/root/reference")
+
+    cfg = dict(img_size=32, patch_size=16, embed_dim=32, depth=1, heads=2,
+               mlp_dim=64, num_classes=7, dropout=0.0)
+    torch.manual_seed(0)
+    ref_model = RefImageViT(**cfg).eval()
+    ckpt = str(tmp_path / "ref_image_vit.pt")
+    torch.save({"epoch": 2, "model_state_dict": ref_model.state_dict(),
+                "config": {"model": dict(cfg, model_size="custom")}}, ckpt)
+
+    # tiny class-dir image tree
+    from PIL import Image
+
+    from fer_vit_tpu import EMOTION_NAMES
+
+    rng = np.random.default_rng(0)
+    test_dir = tmp_path / "imgs"
+    for c in EMOTION_NAMES:
+        d = test_dir / c
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, size=(32, 32, 3),
+                                         dtype=np.uint8)).save(
+                str(d / f"{i}.png"))
+
+    from fer_vit_tpu.eval.evaluate_image_vit import build_parser, main
+
+    out_dir = str(tmp_path / "out")
+    report = run_cli(main, build_parser(), [
+        "--checkpoint_path", ckpt, "--test_dir", str(test_dir),
+        "--output_dir", out_dir])
+    assert report["num_samples"] == 14
+    assert 0.0 <= report["accuracy"] <= 1.0
+
+    # predictions equal the torch model's on the same normalized inputs
+    from fer_vit_tpu.data.image_pipeline import ImageStore, normalize_images
+    from fer_vit_tpu.eval.evaluate_image_vit import load_model
+
+    model, variables, _, img_size = load_model(ckpt)
+    store = ImageStore.load(str(test_dir), img_size)
+    x = normalize_images(jnp.asarray(store.images))
+    with jax.default_matmul_precision("highest"):
+        ours_logits = np.asarray(model.apply(variables, x))
+    with torch.no_grad():
+        ref_logits = ref_model(
+            torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours_logits, ref_logits, rtol=1e-4, atol=1e-4)

@@ -256,3 +256,123 @@ def test_export_roundtrips_through_reference_loader(ref_models, tmp_path):
         got = np.asarray(h.model.apply({"params": state.params},
                                        jnp.asarray(x)))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+class _RefTimmMlp(torch.nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = torch.nn.Linear(dim, hidden)
+        self.fc2 = torch.nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(torch.nn.functional.gelu(self.fc1(x),
+                                                 approximate="none"))
+
+
+class _RefTimmAttn(torch.nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.qkv = torch.nn.Linear(dim, dim * 3)
+        self.proj = torch.nn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, D = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.heads, D // self.heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4)
+        a = (q @ k.transpose(-2, -1)) * (D // self.heads) ** -0.5
+        out = (a.softmax(dim=-1) @ v).transpose(1, 2).reshape(B, N, D)
+        return self.proj(out)
+
+
+class _RefTimmBlock(torch.nn.Module):
+    def __init__(self, dim, heads, mlp_dim):
+        super().__init__()
+        self.norm1 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _RefTimmAttn(dim, heads)
+        self.norm2 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = _RefTimmMlp(dim, mlp_dim)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class _RefAdapter(torch.nn.Module):
+    """Reference AdapterModule (hybrid_latent_vit.py:249-265) — identical
+    module names so state_dict keys match the reference exactly."""
+
+    def __init__(self, dim, adapter_dim):
+        super().__init__()
+        self.adapter = torch.nn.Sequential(
+            torch.nn.Linear(dim, adapter_dim), torch.nn.GELU(),
+            torch.nn.Linear(adapter_dim, dim))
+        self.alpha = torch.nn.Parameter(torch.ones(1) * 0.1)
+
+    def forward(self, x):
+        return x + self.alpha * self.adapter(x)
+
+
+class TorchHybridReplica(torch.nn.Module):
+    """Structural replica of the reference HybridLatentViT
+    (hybrid_latent_vit.py:79-239) with the same attribute names, so its
+    state_dict keys equal a reference-trained hybrid checkpoint's."""
+
+    def __init__(self, latent_dim=512, seq_len=18, dim=96, depth=3, heads=3,
+                 mlp_dim=384, num_classes=7, adapter_dim=8):
+        super().__init__()
+        self.input_proj = torch.nn.Linear(latent_dim, dim)
+        self.cls_token = torch.nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = torch.nn.Parameter(
+            torch.randn(1, seq_len + 1, dim) * 0.02)
+        self.transformer = torch.nn.ModuleList(
+            [_RefTimmBlock(dim, heads, mlp_dim) for _ in range(depth)])
+        self.adapters = torch.nn.ModuleList(
+            [_RefAdapter(dim, adapter_dim) for _ in range(depth)])
+        self.head = torch.nn.Sequential(
+            torch.nn.LayerNorm(dim), torch.nn.Dropout(0.0),
+            torch.nn.Linear(dim, num_classes))
+
+    def forward(self, x):
+        x = self.input_proj(x)
+        cls = self.cls_token.expand(x.size(0), -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for block, adapter in zip(self.transformer, self.adapters):
+            x = adapter(block(x))
+        return self.head(x[:, 0])
+
+
+def test_hybrid_interop_forward_parity():
+    """Hybrid interop beyond roundtrip/keyset: our export strict-loads into
+    a reference-structured torch hybrid (same module names as
+    hybrid_latent_vit.py) and the logits agree."""
+    from fer_vit_tpu.models.hybrid_latent_vit import HybridLatentViT
+
+    ours = HybridLatentViT(latent_dim=512, seq_len=18, embed_dim=96,
+                           depth=3, num_heads=3, mlp_dim=384,
+                           adapter_dim=8, head_dropout=0.0)
+    v = ours.init(jax.random.key(0), jnp.zeros((1, 18, 512)))
+    params = jax.tree_util.tree_map(np.asarray, v["params"])
+    sd = to_torch_state_dict("hybrid", params, {}, config={})
+
+    theirs = TorchHybridReplica()
+    res = theirs.load_state_dict(sd, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    theirs.eval()
+
+    x = np.random.default_rng(7).normal(size=(4, 18, 512)).astype(np.float32)
+    with torch.no_grad():
+        expected = theirs(torch.tensor(x)).numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
+                                    deterministic=True))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got.argmax(1), expected.argmax(1))
+
+    # and back: a replica-trained checkpoint imports bit-consistently
+    p2, _ = from_torch_state_dict("hybrid", theirs.state_dict(), params, {},
+                                  config={})
+    with jax.default_matmul_precision("highest"):
+        got2 = np.asarray(ours.apply({"params": p2}, jnp.asarray(x),
+                                     deterministic=True))
+    np.testing.assert_allclose(got2, expected, rtol=1e-4, atol=1e-4)
