@@ -28,7 +28,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fer_vit_tpu.nn.initializers import kaiming_normal_fan_out_init, normal_init
+from fer_vit_tpu.nn.masked_batchnorm import MaskedBatchNorm
 
+# torch BatchNorm1d defaults: momentum 0.1 (== 0.9 decay here), eps 1e-5,
+# unbiased running-var update (reference models_fer_vit/latent_cnn.py).
 _BN_KW = dict(momentum=0.9, epsilon=1e-5)
 
 
@@ -42,7 +45,8 @@ class LatentConv1D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel_size,),
@@ -53,10 +57,10 @@ class LatentConv1D(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = MaskedBatchNorm(
             use_running_average=deterministic,
             dtype=self.dtype, param_dtype=self.param_dtype, name="bn", **_BN_KW,
-        )(x)
+        )(x, mask=mask)
         x = nn.relu(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
@@ -73,7 +77,8 @@ class LatentResBlock1D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
         conv_kw = dict(
             kernel_size=(self.kernel_size,),
             padding="SAME",
@@ -88,12 +93,12 @@ class LatentResBlock1D(nn.Module):
         )
         residual = x
         out = nn.Conv(self.features, name="conv1", **conv_kw)(x)
-        out = nn.BatchNorm(name="bn1", **bn_kw)(out)
+        out = MaskedBatchNorm(name="bn1", **bn_kw)(out, mask=mask)
         out = nn.relu(out)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         out = nn.Conv(self.features, name="conv2", **conv_kw)(out)
-        out = nn.BatchNorm(name="bn2", **bn_kw)(out)
+        out = MaskedBatchNorm(name="bn2", **bn_kw)(out, mask=mask)
         return nn.relu(out + residual)
 
 
@@ -109,7 +114,8 @@ class _MLPHead(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
         x = nn.Dense(
             self.hidden,
             kernel_init=normal_init(0.01),
@@ -117,10 +123,10 @@ class _MLPHead(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name="fc1",
         )(x)
         if self.use_bn:
-            x = nn.BatchNorm(
+            x = MaskedBatchNorm(
                 use_running_average=deterministic,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="bn", **_BN_KW,
-            )(x)
+            )(x, mask=mask)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Dense(
@@ -145,19 +151,20 @@ class LatentCNN(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
         x = x.astype(self.dtype)  # (B, L, D): L spatial, D channels
         for i, h in enumerate(self.hidden_dims):
             x = LatentConv1D(
                 h, dropout=self.dropout, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"conv_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, mask=mask)
         if self.use_residual:
             for i in range(2):
                 x = LatentResBlock1D(
                     self.hidden_dims[-1], dropout=self.dropout, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"res_{i}",
-                )(x, deterministic=deterministic)
+                )(x, deterministic=deterministic, mask=mask)
         # Global average pool over the sequence axis (deterministic — the
         # reference disables max-pool on purpose, latent_cnn.py:109-111).
         x = jnp.mean(x, axis=1)
@@ -165,7 +172,7 @@ class LatentCNN(nn.Module):
             hidden=512, num_classes=self.num_classes, dropout=self.dropout,
             in_features=self.hidden_dims[-1], dtype=self.dtype,
             param_dtype=self.param_dtype, name="classifier",
-        )(x, deterministic=deterministic)
+        )(x, deterministic=deterministic, mask=mask)
 
 
 class LatentCNNDeep(nn.Module):
@@ -180,7 +187,8 @@ class LatentCNNDeep(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
         x = x.astype(self.dtype)
         # Input projection 512→256 with LayerNorm.
         x = nn.Dense(
@@ -198,12 +206,12 @@ class LatentCNNDeep(nn.Module):
             x = LatentConv1D(
                 ch, dropout=self.dropout, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"stage{s}_conv",
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, mask=mask)
             for r in range(n_res):
                 x = LatentResBlock1D(
                     ch, dropout=self.dropout, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"stage{s}_res{r}",
-                )(x, deterministic=deterministic)
+                )(x, deterministic=deterministic, mask=mask)
 
         # Attention pooling: conv1x1 → softmax over positions → weighted sum.
         attn = nn.Conv(
@@ -218,7 +226,7 @@ class LatentCNNDeep(nn.Module):
             hidden=512, num_classes=self.num_classes, dropout=self.dropout,
             in_features=512, dtype=self.dtype, param_dtype=self.param_dtype,
             name="classifier",
-        )(x, deterministic=deterministic)
+        )(x, deterministic=deterministic, mask=mask)
 
 
 class LatentCNNLight(nn.Module):
@@ -232,7 +240,8 @@ class LatentCNNLight(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
         x = x.astype(self.dtype)
         plan = [(256, True), (256, True), (384, False)]  # (features, dropout?)
         for i, (ch, use_drop) in enumerate(plan):
@@ -242,10 +251,10 @@ class LatentCNNLight(nn.Module):
                 bias_init=nn.initializers.zeros_init(),
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"conv_{i}",
             )(x)
-            x = nn.BatchNorm(
+            x = MaskedBatchNorm(
                 use_running_average=deterministic, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"bn_{i}", **_BN_KW,
-            )(x)
+            )(x, mask=mask)
             x = nn.relu(x)
             if use_drop:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
@@ -276,7 +285,8 @@ class LatentCNN2D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
         x = x.astype(self.dtype)[..., None]  # (B, 18, 512, 1) NHWC
         plan = [(64, False, self.dropout * 0.5),
                 (128, True, self.dropout * 0.5),
@@ -288,10 +298,10 @@ class LatentCNN2D(nn.Module):
                 bias_init=nn.initializers.zeros_init(),
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"conv_{i}",
             )(x)
-            x = nn.BatchNorm(
+            x = MaskedBatchNorm(
                 use_running_average=deterministic, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"bn_{i}", **_BN_KW,
-            )(x)
+            )(x, mask=mask)
             x = nn.relu(x)
             if pool:
                 x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
@@ -305,7 +315,7 @@ class LatentCNN2D(nn.Module):
             hidden=256, num_classes=self.num_classes, dropout=self.dropout,
             in_features=256, dtype=self.dtype, param_dtype=self.param_dtype,
             name="classifier",
-        )(x, deterministic=deterministic)
+        )(x, deterministic=deterministic, mask=mask)
 
 
 def create_latent_cnn(

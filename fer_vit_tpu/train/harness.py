@@ -30,6 +30,7 @@ here, including its BatchNorm running-stat update side effect.
 from __future__ import annotations
 
 import dataclasses
+import inspect
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -122,6 +123,7 @@ class Harness:
     eval_transform: Any = None  # (xb) -> xb applied before eval forwards
     wd_mask: Any = None  # bool pytree: False = no weight decay on that leaf
     has_batch_stats: bool = dataclasses.field(default=False, init=False)
+    accepts_mask: bool = dataclasses.field(default=False, init=False)
 
     # -- state --------------------------------------------------------------
 
@@ -129,6 +131,14 @@ class Harness:
         variables = self.model.init(rng, sample_input)
         params = variables["params"]
         self.has_batch_stats = "batch_stats" in variables
+        # Models with MaskedBatchNorm accept mask= so the padded final
+        # batch's zero rows are excluded from batch statistics (the
+        # reference shrinks that batch instead; see nn/masked_batchnorm.py).
+        try:
+            sig = inspect.signature(type(self.model).__call__)
+            self.accepts_mask = "mask" in sig.parameters
+        except (TypeError, ValueError):
+            self.accepts_mask = False
         batch_stats = variables.get("batch_stats", {})
         tx = make_optimizer(self.cfg, self.wd_mask)
         opt_state = tx.init(params)
@@ -137,17 +147,20 @@ class Harness:
 
     # -- model application --------------------------------------------------
 
-    def _apply_train(self, params, batch_stats, x, rng):
+    def _apply_train(self, params, batch_stats, x, rng, mask=None):
         variables = {"params": params}
+        kw = {}
+        if mask is not None and self.accepts_mask:
+            kw["mask"] = mask
         if self.has_batch_stats:
             variables["batch_stats"] = batch_stats
             logits, upd = self.model.apply(
                 variables, x, deterministic=False, rngs={"dropout": rng},
-                mutable=["batch_stats"],
+                mutable=["batch_stats"], **kw,
             )
             return logits, upd["batch_stats"]
         logits = self.model.apply(
-            variables, x, deterministic=False, rngs={"dropout": rng}
+            variables, x, deterministic=False, rngs={"dropout": rng}, **kw
         )
         return logits, batch_stats
 
@@ -201,11 +214,10 @@ class Harness:
         # values are deterministic. For full batches perm == perm0,
         # identical to the reference's randperm mixing; only the final
         # partial batch differs (the reference shrinks the batch there).
-        # Caveat (BN models only): padded slots still pass through the
-        # forward, so BatchNorm batch statistics see the zero rows — the
-        # reference's shrunken final batch does not. Loss/metrics are
-        # exactly mask-normalized either way; only running-stat updates
-        # on the last partial batch of BN models differ.
+        # BN models: the row mask is threaded into the forward so
+        # MaskedBatchNorm excludes the zero pad rows from batch
+        # statistics, matching the reference's shrunken final batch
+        # (see nn/masked_batchnorm.py for the measured impact).
         perm = jnp.where((mask > 0) & (mask[perm0] > 0),
                          perm0, jnp.arange(b))
         row_mask = mask.reshape((b,) + (1,) * (xb.ndim - 1)).astype(xb.dtype)
@@ -216,7 +228,7 @@ class Harness:
 
         def loss_fn(params):
             logits, new_bs = self._apply_train(params, state.batch_stats,
-                                               x_mixed, k_drop)
+                                               x_mixed, k_drop, mask=mask)
             loss_a = cross_entropy(logits, yb, class_weights,
                                    cfg.label_smoothing, mask)
             # after the redirect both label streams share the row's own
@@ -245,7 +257,7 @@ class Harness:
             # unconditionally, so latent trainers set the flag even for
             # --mixup 0).
             logits_clean, new_bs2 = self._apply_train(new_params, new_bs, xb,
-                                                      k_drop2)
+                                                      k_drop2, mask=mask)
             preds = jnp.argmax(logits_clean, axis=-1)
         else:
             # The image/hybrid reference trainers record metrics from the

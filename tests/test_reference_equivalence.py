@@ -21,26 +21,37 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
 @needs_reference
-@pytest.mark.parametrize("trainer", ["latent_vit", "latent_vit_v2"])
+@pytest.mark.parametrize("trainer",
+                         ["latent_vit", "latent_vit_v2", "latent_cnn",
+                          "hybrid", "expression_aware"])
 def test_step_level_equivalence(trainer):
     """Identical weights + identical batches → per-step losses within 5e-5,
-    final params within one Adam step, val metrics identical."""
+    final params within the Adam drift envelope, val LOGITS within 5e-2
+    with any argmax flip margin-limited (knife-edge samples only)."""
     import verify_reference_equivalence as vre
 
     res = vre.part_a(trainer, epochs=1)
     assert res["pass"], res
     assert res["per_step_loss"]["max_abs_diff"] < 5e-5
-    assert res["val_metric_abs_diffs"]["accuracy"] == 0.0
-    assert res["val_metric_abs_diffs"]["f1_macro"] == 0.0
+    assert res["val_metric_abs_diffs"]["loss"] < 1e-5
+    assert res["val_logit_max_abs_diff"] < 5e-2
+    if res["val_argmax_flips"]:
+        assert all(m <= 4.0 * res["val_logit_max_abs_diff"]
+                   for m in res["val_flip_margins"]), res
 
 
 @needs_reference
-def test_full_run_trajectory_band():
-    """Both CLIs (subprocesses, native init/shuffle each) land in the same
+@pytest.mark.parametrize("trainer", ["latent_vit", "latent_cnn"])
+def test_full_run_trajectory_band(trainer):
+    """Both CLIs (subprocesses, native init/shuffle each; the CNN race
+    includes live mixup — hardcoded α=1.0 on both sides) land in the same
     val-metric band on the same synthetic dataset."""
     import verify_reference_equivalence as vre
 
-    res = vre.part_b(epochs=3)
+    # 5 epochs: the band criteria compare the trajectory tail, and on this
+    # tiny set both frameworks are still in their noisy ramp at epoch ≤3
+    # (val-set sampling noise alone is ~0.04 acc).
+    res = vre.part_b(trainer, epochs=5)
     assert res["pass"], {
         k: res[k] for k in ("tail_val_acc_max_abs_diff",
                             "tail_val_loss_max_abs_diff")}

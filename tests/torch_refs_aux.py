@@ -201,3 +201,74 @@ class TimmViTRef(nn.Module):
         for b in self.blocks:
             x = b(x)
         return self.head(self.norm(x)[:, 0])
+
+
+class _TimmMlp(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x), approximate="none"))
+
+
+class TimmBlockNamed(nn.Module):
+    """timm Block with EXACT timm attribute naming (norm1, attn.qkv,
+    attn.proj, norm2, mlp.fc1, mlp.fc2) so a wrapper module that registers
+    these blocks (reference HybridLatentViT keeps them as ``transformer``,
+    models_fer_vit/hybrid_latent_vit.py:158-169) produces timm-compatible
+    state_dict keys like ``transformer.0.mlp.fc1.weight``."""
+
+    def __init__(self, dim, heads, mlp_hidden):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _TimmAttn(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = _TimmMlp(dim, mlp_hidden)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class TimmViTStub(nn.Module):
+    """Minimal stand-in for ``timm.create_model(...)``: exposes exactly the
+    surface the reference HybridLatentViT consumes (``embed_dim``,
+    ``cls_token``, ``pos_embed``, ``blocks`` — hybrid_latent_vit.py:68-93)
+    with faithful timm block semantics (pre-norm residual, packed qkv,
+    exact GELU)."""
+
+    def __init__(self, embed_dim, depth, num_heads, mlp_hidden, n_patches=18):
+        super().__init__()
+        self.embed_dim = embed_dim
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, embed_dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, n_patches + 1, embed_dim))
+        self.blocks = nn.ModuleList(
+            [TimmBlockNamed(embed_dim, num_heads, mlp_hidden)
+             for _ in range(depth)])
+
+
+def install_fake_timm(cfg_by_name):
+    """Register a stub ``timm`` module (timm is absent from this image) so
+    the reference's hybrid-family model code imports and constructs. Every
+    learned weight is overwritten by ``load_state_dict`` afterwards, so only
+    the stub's *architecture* (shapes + forward semantics) matters.
+
+    Args:
+        cfg_by_name: maps timm model names (e.g. ``vit_tiny_patch16_224``)
+            to :class:`TimmViTStub` kwargs.
+    Returns the previous ``sys.modules['timm']`` entry (or None).
+    """
+    import sys
+    import types
+
+    mod = types.ModuleType("timm")
+
+    def create_model(name, pretrained=False, num_classes=0, **kw):
+        return TimmViTStub(**cfg_by_name[name])
+
+    mod.create_model = create_model
+    prev = sys.modules.get("timm")
+    sys.modules["timm"] = mod
+    return prev
