@@ -19,7 +19,9 @@ Part A (rigorous, step-level): both frameworks start from IDENTICAL weights
   trunk + adapters; the absent timm package is stubbed with a faithful
   donor — tests/torch_refs_aux.py — while the reference's wrapper/trainer
   code runs unmodified), expression_aware (frozen SVM-direction
-  decomposer + hybrid ViT from a shared synthetic directions .pt).
+  decomposer + hybrid ViT from a shared synthetic directions .pt),
+  image_vit (the reference's from-scratch post-norm image ViT on synthetic
+  32px images; timm/torchvision import-time stubs only).
 
 Part B (full-run, loose): both CLIs run as subprocesses on the same
   synthetic dataset written in the reference's per-file .pt schema, each
@@ -71,6 +73,18 @@ def _make_data(n, seed, scale=3.0, seq_len=18, dim=512):
     return x.astype(np.float32), y
 
 
+def _make_image_data(n, seed, img=32):
+    """Clustered image data (NHWC, [0,1]) for the image trainer's race —
+    same fixed-class-means scheme as :func:`_make_data`."""
+    rng_means = np.random.default_rng(4321)
+    means = rng_means.normal(size=(7, img, img, 3)).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    y = (np.arange(n) % 7).astype(np.int64)
+    x = (means[y] * 0.35
+         + rng.normal(size=(n, img, img, 3)).astype(np.float32) * 0.25 + 0.5)
+    return np.clip(x, 0.0, 1.0).astype(np.float32), y
+
+
 class _RecordingCriterion:
     """Wraps the torch criterion; records every scalar it produces. The
     reference computes lam*CE(y) + (1-lam)*CE(y[perm]) per step — with
@@ -111,6 +125,27 @@ def _torch_side(trainer, cfg, sd, x, y, vx, vy, epochs):
             from models_fer_vit.latent_cnn import create_latent_cnn
 
             model = create_latent_cnn("light", dropout=0.0)
+        elif trainer == "image_vit":
+            # train_image_vit imports timm at module top (only used for
+            # --use_pretrained); a stub satisfies the import while the
+            # model under test is the reference's OWN from-scratch ImageViT.
+            from tests.torch_refs_aux import (
+                install_fake_timm,
+                install_fake_torchvision,
+            )
+
+            install_fake_timm({})
+            install_fake_torchvision()
+            import train.train_image_vit as ref_mod
+            from models_fer_vit.image_vit import ImageViT as RefImageViT
+
+            model = RefImageViT(img_size=cfg["img_size"], patch_size=16,
+                                embed_dim=cfg["embed_dim"],
+                                depth=cfg["depth"], heads=cfg["heads"],
+                                mlp_dim=cfg["mlp_dim"], num_classes=7,
+                                dropout=0.0)
+            x = np.transpose(x, (0, 3, 1, 2)).copy()   # NHWC → torch NCHW
+            vx = np.transpose(vx, (0, 3, 1, 2)).copy()
         elif trainer in ("hybrid", "expression_aware"):
             # timm is absent from this image; the reference imports it to
             # donate blocks to HybridLatentViT (hybrid_latent_vit.py:68-93).
@@ -197,8 +232,9 @@ def _torch_side(trainer, cfg, sd, x, y, vx, vy, epochs):
                 *extra)
             epoch_metrics.append((tr_loss, tr_acc, tr_f1))
         # v1/v2/cnn train_epochs call the criterion twice per step (the
-        # lam/1-lam mixup pair); hybrid/expression_aware call it once.
-        stride = 1 if trainer in ("hybrid", "expression_aware") else 2
+        # lam/1-lam mixup pair); hybrid/expression_aware/image call it once.
+        stride = 1 if trainer in ("hybrid", "expression_aware",
+                                  "image_vit") else 2
         step_losses = criterion.calls[0::stride]
         val = ref_mod.evaluate(model, val_loader, criterion,
                                torch.device("cpu"))
@@ -241,6 +277,14 @@ def _jax_side(trainer, cfg, x, y, vx, vy, epochs):
     elif trainer == "latent_cnn":
         model = create_latent_cnn("light", dropout=0.0)
         kind, kcfg = "latent_cnn_light", {}
+    elif trainer == "image_vit":
+        from fer_vit_tpu.models.image_vit import ImageViT as OurImageViT
+
+        model = OurImageViT(img_size=cfg["img_size"], patch_size=16,
+                            embed_dim=cfg["embed_dim"], depth=cfg["depth"],
+                            heads=cfg["heads"], mlp_dim=cfg["mlp_dim"],
+                            dropout=0.0)
+        kind, kcfg = "image_vit", {}
     elif trainer == "hybrid":
         model = create_hybrid_latent_vit(
             model_size="tiny", embed_dim=cfg["embed_dim"],
@@ -266,13 +310,19 @@ def _jax_side(trainer, cfg, x, y, vx, vy, epochs):
                             dropout=0.0, **flags)
         kind, kcfg = "latent_vit_v2", flags
 
+    # The latent v1/v2/cnn reference trainers record train metrics from a
+    # clean post-step forward; the hybrid/expression_aware/image trainers
+    # take preds from the training forward itself
+    # (train/train_hybrid_latent_vit.py:139-141, train_image_vit.py:133-136).
+    clean_fwd = trainer in ("latent_vit", "latent_vit_v2", "latent_cnn")
     tc = TrainConfig(epochs=epochs, batch_size=cfg["batch_size"],
                      lr=cfg["lr"], weight_decay=cfg["weight_decay"],
                      mixup=0.0, label_smoothing=cfg["label_smoothing"],
                      grad_clip=cfg["grad_clip"], scheduler="none",
-                     clean_metrics_forward=True)
+                     clean_metrics_forward=clean_fwd)
     h = Harness(model=model, cfg=tc)
-    state = h.init_state(jax.random.key(0), jnp.zeros((1, 18, 512)))
+    state = h.init_state(jax.random.key(0),
+                         jnp.zeros((1,) + tuple(x.shape[1:])))
     sd0 = {sd_prefix + k: v for k, v in to_torch_state_dict(
         kind, state.params, state.batch_stats, config=kcfg).items()}
 
@@ -348,8 +398,14 @@ def part_a(trainer: str, epochs: int = 2) -> dict:
         torch.save({"directions": dirs, "seq_len": 18, "latent_dim": 512,
                     "method": "synthetic"}, path)
         cfg["directions_path"] = path
-    x, y = _make_data(64, seed=0)
-    vx, vy = _make_data(32, seed=1)
+    if trainer == "image_vit":
+        # plain CE, no mixup/clip by default (train_image_vit.py:110-144)
+        cfg.update(label_smoothing=0.0, img_size=32)
+        x, y = _make_image_data(64, seed=0)
+        vx, vy = _make_image_data(32, seed=1)
+    else:
+        x, y = _make_data(64, seed=0)
+        vx, vy = _make_data(32, seed=1)
 
     ours = _jax_side(trainer, cfg, x, y, vx, vy, epochs)
     theirs = _torch_side(trainer, cfg, ours["init_sd"], x, y, vx, vy, epochs)
@@ -427,6 +483,7 @@ def part_a(trainer: str, epochs: int = 2) -> dict:
         # knife-edge sample (top-2 margin within 4x the logit drift).
         "pass": bool(
             step_diff.max() < 5e-5
+            and max(d[0] for d in epoch_diffs) < 5e-5
             and max_param_diff < cfg["lr"] * (1.0 + step_ref.size)
             and max_bnstat_diff < 5e-2
             and val_diffs["loss"] < 1e-5
@@ -558,7 +615,7 @@ def main(argv=None) -> int:
 
     report = {"part_a": [], "part_b": []}
     for trainer in ("latent_vit", "latent_vit_v2", "latent_cnn",
-                    "hybrid", "expression_aware"):
+                    "hybrid", "expression_aware", "image_vit"):
         res = part_a(trainer, epochs=1 if args.quick else 2)
         report["part_a"].append(res)
         print(f"[part A] {trainer}: steps={res['steps_compared']} "

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 @needs_reference
 @pytest.mark.parametrize("trainer",
                          ["latent_vit", "latent_vit_v2", "latent_cnn",
-                          "hybrid", "expression_aware"])
+                          "hybrid", "expression_aware", "image_vit"])
 def test_step_level_equivalence(trainer):
     """Identical weights + identical batches → per-step losses within 5e-5,
     final params within the Adam drift envelope, val LOGITS within 5e-2

@@ -272,3 +272,31 @@ def install_fake_timm(cfg_by_name):
     prev = sys.modules.get("timm")
     sys.modules["timm"] = mod
     return prev
+
+
+def install_fake_torchvision():
+    """Register a stub ``torchvision`` (absent from this image) so the
+    reference's image trainer imports. ``data/image_dataset.py`` touches
+    only ``transforms.<Name>`` lazily inside functions (plus ``Compose``
+    in return annotations); any attribute resolves to a placeholder
+    class. The equivalence harness never runs these transforms — both
+    sides consume pre-built tensors."""
+    import sys
+    import types
+
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+
+    def _placeholder(name):
+        # inspect.getmodule scans sys.modules probing __file__ etc. —
+        # dunders must miss like a normal module.
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return type(name, (), {})
+
+    tr.__getattr__ = _placeholder
+    tv.transforms = tr
+    prev = sys.modules.get("torchvision")
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tr
+    return prev
