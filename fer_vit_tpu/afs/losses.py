@@ -39,10 +39,13 @@ class AFSLoss:
     arcface_variables: Optional[dict] = None
     lpips_variables: Optional[dict] = None
     lambda_cons: float = 0.1
+    arcface_plan: Optional[tuple] = None  # None = real IR-SE50 layout
     dtype: jnp.dtype = jnp.float32
 
     def __post_init__(self):
-        self.arcface = ArcFaceExtractor(dtype=self.dtype)
+        arc_kw = {} if self.arcface_plan is None else \
+            {"plan": tuple(self.arcface_plan)}
+        self.arcface = ArcFaceExtractor(dtype=self.dtype, **arc_kw)
         self.lpips = LPIPS(dtype=self.dtype)
         if self.arcface_variables is None:
             self.arcface_variables = self.arcface.init(

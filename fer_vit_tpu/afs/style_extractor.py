@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fer_vit_tpu.nn.initializers import torch_linear_bias_init, torch_linear_kernel_init
+from fer_vit_tpu.nn.masked_batchnorm import MaskedBatchNorm
 
 
 def _dense(features: int, in_dim: int, dtype, param_dtype, name: str):
@@ -46,7 +47,11 @@ class HighwayLayer(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         nonlin = _dense(self.dim, self.dim, self.dtype, self.param_dtype,
                         "nonlinear")(x)
-        nonlin = nn.BatchNorm(
+        # MaskedBatchNorm for torch BatchNorm1d fidelity: running_var is
+        # updated with the UNBIASED (n/(n-1)) estimate like the reference's
+        # nn.BatchNorm1d (afs/style_extractor.py:22-25); plain flax
+        # BatchNorm uses the biased one, which skews every eval forward.
+        nonlin = MaskedBatchNorm(
             use_running_average=deterministic,
             momentum=1.0 - self.momentum,  # torch momentum 0.1 == flax 0.9
             epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,

@@ -95,8 +95,12 @@ class ArcFaceBackbone(nn.Module):
 
 
 class ArcFaceExtractor(nn.Module):
-    """(B, 256, 256, 3) in [−1, 1] → (B, 512) identity embedding."""
+    """(B, 256, 256, 3) in [−1, 1] → (B, 512) identity embedding.
 
+    ``plan`` defaults to the real IR-SE50 layout; reduced plans (same
+    shape grammar) serve synthetic-parity and equivalence harnesses."""
+
+    plan: tuple = IR_SE_50_PLAN
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -104,8 +108,8 @@ class ArcFaceExtractor(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x[:, 35:223, 32:220, :]  # face crop (reference afs/losses.py:68)
         x = adaptive_avg_pool(x.astype(self.dtype), 112)
-        return ArcFaceBackbone(dtype=self.dtype, param_dtype=self.param_dtype,
-                               name="net")(x)
+        return ArcFaceBackbone(plan=self.plan, dtype=self.dtype,
+                               param_dtype=self.param_dtype, name="net")(x)
 
 
 def convert_arcface_state_dict(sd: Dict[str, np.ndarray],

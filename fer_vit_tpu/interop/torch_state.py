@@ -398,3 +398,107 @@ def to_torch_state_dict(model_kind: str, params: Dict[str, Any],
         out = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
                for k, v in out.items()}
     return out
+
+
+# -- AFS StyleExtractor (vmapped, stacked-leaf layout) ------------------------
+
+
+def style_extractor_to_torch_state_dict(params: Dict[str, Any],
+                                        batch_stats: Dict[str, Any] | None = None,
+                                        as_tensors: bool = True
+                                        ) -> Dict[str, Any]:
+    """Our vmapped StyleExtractor → the reference's per-block naming.
+
+    Our layout stacks every leaf over the W+ layer axis (axis 0, via
+    nn.vmap); the reference registers independent per-layer modules
+    (reference afs/style_extractor.py:76-116): ``blocks.{i}.down/up`` and
+    ``blocks.{i}.highways.{j}.{nonlinear.0, nonlinear.1, linear, gate}``
+    where ``nonlinear`` is Sequential(Linear, BatchNorm1d).
+    """
+    import jax
+
+    p = jax.tree_util.tree_map(np.asarray, params)["blocks"]
+    bs_all = jax.tree_util.tree_map(np.asarray, batch_stats or {})
+    bs = bs_all.get("blocks", {})
+    n_layers = p["down"]["kernel"].shape[0]
+    num_highway = sum(1 for k in p if str(k).startswith("highway_"))
+    out: Dict[str, np.ndarray] = {}
+    for i in range(n_layers):
+        pre = f"blocks.{i}"
+        lin_map = [("down", p["down"]), ("up", p["up"])]
+        for j in range(num_highway):
+            hw = p[f"highway_{j}"]
+            lin_map += [
+                (f"highways.{j}.nonlinear.0", hw["nonlinear"]),
+                (f"highways.{j}.linear", hw["linear"]),
+                (f"highways.{j}.gate", hw["gate"]),
+            ]
+        for sub, node in lin_map:
+            out[f"{pre}.{sub}.weight"] = np.ascontiguousarray(
+                node["kernel"][i].T)
+            out[f"{pre}.{sub}.bias"] = node["bias"][i]
+        for j in range(num_highway):
+            bn = p[f"highway_{j}"]["bn"]
+            b = f"{pre}.highways.{j}.nonlinear.1"
+            out[f"{b}.weight"] = bn["scale"][i]
+            out[f"{b}.bias"] = bn["bias"][i]
+            hb = bs[f"highway_{j}"]["bn"] if bs else None
+            out[f"{b}.running_mean"] = (hb["mean"][i] if hb
+                                        else np.zeros_like(bn["scale"][i]))
+            out[f"{b}.running_var"] = (hb["var"][i] if hb
+                                       else np.ones_like(bn["scale"][i]))
+            out[f"{b}.num_batches_tracked"] = np.asarray(0, np.int64)
+    if as_tensors:
+        import torch
+
+        out = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+               for k, v in out.items()}
+    return out
+
+
+def style_extractor_from_torch_state_dict(sd: Dict[str, Any],
+                                          template_params: Dict[str, Any],
+                                          template_batch_stats: Dict[str, Any]):
+    """Reference per-block state_dict → our stacked (params, batch_stats)."""
+    import jax
+
+    sd = {k: np.asarray(getattr(v, "detach", lambda: v)().cpu().numpy()
+                        if hasattr(v, "detach") else v)
+          for k, v in sd.items()}
+    params = jax.tree_util.tree_map(np.asarray, template_params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, template_batch_stats)
+    p = params["blocks"]
+    bs = batch_stats["blocks"]
+    n_layers = p["down"]["kernel"].shape[0]
+    num_highway = sum(1 for k in p if str(k).startswith("highway_"))
+
+    def stack(keys, transpose=False):
+        arrs = [sd[k] for k in keys]
+        return np.stack([a.T if transpose else a for a in arrs], axis=0)
+
+    def keys_for(sub, leaf):
+        return [f"blocks.{i}.{sub}.{leaf}" for i in range(n_layers)]
+
+    lin_map = [("down", ("down",)), ("up", ("up",))]
+    for j in range(num_highway):
+        lin_map += [
+            (f"highways.{j}.nonlinear.0", (f"highway_{j}", "nonlinear")),
+            (f"highways.{j}.linear", (f"highway_{j}", "linear")),
+            (f"highways.{j}.gate", (f"highway_{j}", "gate")),
+        ]
+    for sub, path in lin_map:
+        node = _get(p, path)
+        node["kernel"] = stack(keys_for(sub, "weight"), transpose=True).astype(
+            node["kernel"].dtype)
+        node["bias"] = stack(keys_for(sub, "bias")).astype(node["bias"].dtype)
+    for j in range(num_highway):
+        bn = p[f"highway_{j}"]["bn"]
+        hb = bs[f"highway_{j}"]["bn"]
+        sub = f"highways.{j}.nonlinear.1"
+        bn["scale"] = stack(keys_for(sub, "weight")).astype(bn["scale"].dtype)
+        bn["bias"] = stack(keys_for(sub, "bias")).astype(bn["bias"].dtype)
+        hb["mean"] = stack(keys_for(sub, "running_mean")).astype(
+            hb["mean"].dtype)
+        hb["var"] = stack(keys_for(sub, "running_var")).astype(
+            hb["var"].dtype)
+    return params, batch_stats

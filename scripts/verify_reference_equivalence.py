@@ -29,6 +29,14 @@ Part B (full-run, loose): both CLIs run as subprocesses on the same
   per-epoch val trajectories must land in the same band — the statistical
   claim behind learning-curve comparability.
 
+Part C (rigorous, step-level): the 7th reference trainer — AFS style
+  extractor (reference: train/train_style_extractor.py:86-143). The
+  reference's own run_epoch/evaluate drive a torch race against our fused
+  jitted AFS step with identical extractor init, identical frozen
+  StyleGAN2/ArcFace/LPIPS donors (through the real-checkpoint converters),
+  and identical fixed pairs; per-step total losses, per-epoch loss
+  components, val metrics and final params+BN stats must agree.
+
 Writes EQUIVALENCE.json. Exit code 0 iff every check passes.
 
 Usage:
@@ -623,6 +631,13 @@ def main(argv=None) -> int:
               f"max_param_diff={res['final_param_max_abs_diff']:.2e} "
               f"val_logit_diff={res['val_logit_max_abs_diff']:.2e} "
               f"flips={res['val_argmax_flips']} pass={res['pass']}")
+    res_c = part_c_style_extractor(epochs=1 if args.quick else 2)
+    report["part_c"] = [res_c]
+    print(f"[part C] style_extractor: steps={res_c['steps_compared']} "
+          f"max_step_loss_diff={res_c['per_step_loss']['max_abs_diff']:.2e} "
+          f"max_param_diff={res_c['final_param_max_abs_diff']:.2e} "
+          f"bn_stat_diff={res_c['final_bnstat_max_abs_diff']:.2e} "
+          f"pass={res_c['pass']}")
     if not args.skip_part_b:
         for trainer in (("latent_vit",) if args.quick
                         else tuple(PART_B_TRAINERS)):
@@ -634,12 +649,240 @@ def main(argv=None) -> int:
                   f"pass={res_b['pass']}")
 
     ok = all(r["pass"] for r in report["part_a"]) and all(
-        r["pass"] for r in report["part_b"])
+        r["pass"] for r in report["part_b"]) and all(
+        r["pass"] for r in report["part_c"])
     report["pass"] = bool(ok)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"report → {args.out}  PASS={ok}")
     return 0 if ok else 1
+
+
+# -- Part C: AFS style-extractor trainer (the 7th reference trainer) ----------
+
+
+class _RecordingAFSCriterion:
+    """Wraps an AFSLoss-like callable returning (loss, metrics); records
+    every total-loss scalar. The caller snapshots ``calls`` before the val
+    pass so the recorded list covers exactly the train steps."""
+
+    def __init__(self, base):
+        self.base = base
+        self.calls = []
+
+    def __call__(self, *a, **k):
+        loss, metrics = self.base(*a, **k)
+        self.calls.append(float(loss.detach()))
+        return loss, metrics
+
+
+def part_c_style_extractor(epochs: int = 1) -> dict:
+    """Head-to-head with the reference's AFS trainer (reference:
+    train/train_style_extractor.py:86-143 run_epoch / evaluate): identical
+    StyleExtractor init (ours, exported through interop), identical frozen
+    StyleGAN2/ArcFace/LPIPS donor weights flowing through the SAME
+    converters used for real checkpoints, identical fixed (src, tgt)
+    pairs, generated-image provider (strategy A). The absent
+    third_party/pixel2style2pixel repo is stubbed with the oracle replicas
+    (tests/torch_refs_aux.py) on the torch side; the reference's own
+    StyleExtractor / AFSLoss / GeneratedImageProvider / run_epoch /
+    evaluate code runs unmodified. Compares per-step total losses,
+    per-epoch loss components (id/lpips/cons), val metrics, and final
+    extractor params incl. BatchNorm running stats."""
+    import torch
+
+    from tests.torch_refs_aux import (
+        ArcFaceBackboneRef,
+        install_fake_psp_modules,
+        install_fake_torchvision,
+    )
+    from tests.torch_stylegan2_ref import GeneratorRef
+
+    plan = [(64, 64, 1), (64, 128, 1), (128, 256, 1), (256, 512, 1)]
+    size, cm, n_latent = 64, 1, 10
+    bs, n_train, n_val, lr, lambda_cons = 4, 8, 4, 1e-3, 0.1
+
+    # shared frozen donors (seeded once; both sides consume the same sd)
+    torch.manual_seed(0)
+    arc_ref = ArcFaceBackboneRef(plan=plan, feat_hw=7).eval()
+    gen_ref = GeneratorRef(size=size, channel_multiplier=cm).eval()
+    fd, arc_path = tempfile.mkstemp(suffix=".pth", prefix="ir_se_")
+    os.close(fd)
+    torch.save(arc_ref.state_dict(), arc_path)
+
+    # fixed (src, tgt) pairs — shuffle off on both sides
+    rng = np.random.default_rng(7)
+    w_src = rng.normal(size=(n_train, n_latent, 512)).astype(np.float32)
+    w_tgt = rng.normal(size=(n_train, n_latent, 512)).astype(np.float32)
+    v_src = rng.normal(size=(n_val, n_latent, 512)).astype(np.float32)
+    v_tgt = rng.normal(size=(n_val, n_latent, 512)).astype(np.float32)
+
+    install_fake_torchvision()
+    install_fake_psp_modules(arcface_plan=plan, feat_hw=7)
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import train.train_style_extractor as ref_mod
+
+        device = torch.device("cpu")
+        # The reference criterion is built FIRST: its constructor draws the
+        # LPIPS stub's random weights, which become the shared frozen donor
+        # (harvested below and fed through our converter) — no RNG replay.
+        torch.manual_seed(1)
+        crit_ref = ref_mod.AFSLoss(arcface_path=arc_path,
+                                   lambda_cons=lambda_cons)
+        alex_sd = {k: v.detach().numpy().astype(np.float32)
+                   for k, v in crit_ref.lpips.alex.state_dict().items()}
+        lin_sd = {k: v.detach().numpy().astype(np.float32)
+                  for k, v in crit_ref.lpips.lin_state_dict().items()}
+        arc_sd = {k: v.detach().numpy().astype(np.float32)
+                  for k, v in arc_ref.state_dict().items()}
+        gen_sd = {k: v.detach().numpy().astype(np.float32)
+                  for k, v in gen_ref.state_dict().items()}
+
+        # ---- our side (its exported init seeds the torch race) ----
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from fer_vit_tpu.afs.losses import AFSLoss
+        from fer_vit_tpu.afs.style_extractor import StyleExtractor
+        from fer_vit_tpu.afs.train_style_extractor import make_train_step
+        from fer_vit_tpu.encoders.arcface import convert_arcface_state_dict
+        from fer_vit_tpu.encoders.convert_stylegan2 import (
+            convert_generator_state_dict,
+        )
+        from fer_vit_tpu.encoders.lpips import convert_lpips_state_dict
+        from fer_vit_tpu.encoders.stylegan2 import Generator
+        from fer_vit_tpu.interop import style_extractor_to_torch_state_dict
+
+        h = StyleExtractor(n_layers=n_latent)
+        variables = h.init(jax.random.key(0), jnp.zeros((2, n_latent, 512)))
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        sd0 = style_extractor_to_torch_state_dict(params, batch_stats)
+
+        gen = Generator(size=size, channel_multiplier=cm)
+        gen_vars = convert_generator_state_dict(gen_sd)
+        criterion = AFSLoss(
+            arcface_variables=convert_arcface_state_dict(arc_sd, plan=plan),
+            lpips_variables=convert_lpips_state_dict(alex_sd, lin_sd),
+            lambda_cons=lambda_cons, arcface_plan=plan)
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1.0))
+        opt_state = tx.init(params)
+        jit_step, jit_eval = make_train_step(h, gen, gen_vars, criterion,
+                                             lr, use_provider_a=True)
+
+        dummy = jnp.zeros((bs, 256, 256, 3), jnp.float32)
+        our_steps, our_epochs = [], []
+        with jax.default_matmul_precision("highest"):
+            for _ in range(epochs):
+                tot = {"loss": 0.0, "id": 0.0, "lpips": 0.0, "cons": 0.0}
+                n_steps = n_train // bs
+                for s in range(n_steps):
+                    sl = slice(s * bs, (s + 1) * bs)
+                    params, batch_stats, opt_state, loss, metrics = jit_step(
+                        params, batch_stats, opt_state, jnp.float32(lr),
+                        jnp.asarray(w_src[sl]), jnp.asarray(w_tgt[sl]),
+                        dummy, dummy)
+                    our_steps.append(float(loss))
+                    tot["loss"] += float(loss)
+                    for mk in ("id", "lpips", "cons"):
+                        tot[mk] += float(metrics[mk])
+                our_epochs.append({k: v / n_steps for k, v in tot.items()})
+            vt = {"loss": 0.0, "id": 0.0, "lpips": 0.0, "cons": 0.0}
+            nv = n_val // bs
+            for s in range(nv):
+                sl = slice(s * bs, (s + 1) * bs)
+                loss, metrics = jit_eval(params, batch_stats,
+                                         jnp.asarray(v_src[sl]),
+                                         jnp.asarray(v_tgt[sl]), dummy, dummy)
+                vt["loss"] += float(loss)
+                for mk in ("id", "lpips", "cons"):
+                    vt[mk] += float(metrics[mk])
+            our_val = {k: v / nv for k, v in vt.items()}
+        our_final_sd = {k: np.asarray(v) for k, v in
+                        style_extractor_to_torch_state_dict(
+                            params, batch_stats, as_tensors=False).items()}
+
+        # ---- torch race: the reference's own code ----
+        h_ref = ref_mod.StyleExtractor(n_layers=n_latent)
+        h_ref.load_state_dict(sd0, strict=True)
+        crit_rec = _RecordingAFSCriterion(crit_ref)
+        face_pool_t = torch.nn.AdaptiveAvgPool2d((256, 256))
+        provider = ref_mod.GeneratedImageProvider(gen_ref, face_pool_t)
+        opt = torch.optim.Adam(h_ref.parameters(), lr=lr)
+
+        def mk_loader(a, b):
+            from torch.utils.data import DataLoader
+
+            rows = [(torch.from_numpy(a[i]), 0, f"s{i}",
+                     torch.from_numpy(b[i]), 0, f"t{i}")
+                    for i in range(a.shape[0])]
+            return DataLoader(rows, batch_size=bs, shuffle=False)
+
+        loader = mk_loader(w_src, w_tgt)
+        val_loader = mk_loader(v_src, v_tgt)
+        ref_epochs = []
+        for _ in range(epochs):
+            ref_epochs.append(ref_mod.train_one_epoch(
+                h_ref, gen_ref, face_pool_t, crit_rec, provider, loader,
+                opt, device))
+        ref_steps = list(crit_rec.calls)
+        ref_val = ref_mod.evaluate(h_ref, gen_ref, face_pool_t, crit_rec,
+                                   provider, val_loader, device)
+        ref_final_sd = {k: v.detach().numpy().copy()
+                        for k, v in h_ref.state_dict().items()}
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+        os.unlink(arc_path)
+
+    step_ref = np.asarray(ref_steps)
+    step_our = np.asarray(our_steps)
+    assert step_ref.shape == step_our.shape, (step_ref.shape, step_our.shape)
+    step_diff = np.abs(step_ref - step_our)
+
+    param_diffs, bnstat_diffs = {}, {}
+    for k, rv in ref_final_sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        d = float(np.max(np.abs(rv - our_final_sd[k])))
+        (bnstat_diffs if ".running_" in k else param_diffs)[k] = d
+    max_param_diff = max(param_diffs.values())
+    max_bnstat_diff = max(bnstat_diffs.values())
+
+    epoch_diffs = [
+        {k: abs(re[k] - oe[k]) for k in ("loss", "id", "lpips", "cons")}
+        for re, oe in zip(ref_epochs, our_epochs)
+    ]
+    val_diffs = {k: abs(ref_val[k] - our_val[k])
+                 for k in ("loss", "id", "lpips", "cons")}
+
+    n_steps_total = int(step_ref.size)
+    result = {
+        "trainer": "style_extractor",
+        "steps_compared": n_steps_total,
+        "per_step_loss": {
+            "torch_first3": [round(v, 6) for v in step_ref[:3]],
+            "ours_first3": [round(v, 6) for v in step_our[:3]],
+            "max_abs_diff": float(step_diff.max()),
+        },
+        "final_param_max_abs_diff": max_param_diff,
+        "final_bnstat_max_abs_diff": max_bnstat_diff,
+        "epoch_component_abs_diffs": epoch_diffs,
+        "val_component_abs_diffs": val_diffs,
+        # The loss graph crosses a full StyleGAN2 synthesis + ArcFace +
+        # AlexNet stack, so tolerances are one decade looser than the
+        # classifier races (depth amplifies ulp noise); semantic
+        # divergence (wrong clip/stop-grad/loss composition) shows up
+        # orders of magnitude above these bands.
+        "pass": bool(
+            step_diff.max() < 5e-4
+            and max(max(d.values()) for d in epoch_diffs) < 5e-4
+            and max(val_diffs.values()) < 5e-4
+            and max_param_diff < lr * (1.0 + n_steps_total)
+            and max_bnstat_diff < 5e-2
+        ),
+    }
+    return result
 
 
 if __name__ == "__main__":

@@ -41,6 +41,21 @@ def test_step_level_equivalence(trainer):
 
 
 @needs_reference
+def test_style_extractor_step_level_equivalence():
+    """The 7th trainer (AFS): the reference's run_epoch/evaluate drive a
+    torch race vs our fused jitted AFS step — identical extractor init,
+    shared frozen StyleGAN2/ArcFace/LPIPS donors through the
+    real-checkpoint converters, fixed pairs. Per-step losses, epoch loss
+    components, val metrics and final params+BN running stats agree."""
+    import verify_reference_equivalence as vre
+
+    res = vre.part_c_style_extractor(epochs=1)
+    assert res["pass"], res
+    assert res["per_step_loss"]["max_abs_diff"] < 1e-4
+    assert max(res["val_component_abs_diffs"].values()) < 1e-4
+
+
+@needs_reference
 @pytest.mark.parametrize("trainer", ["latent_vit", "latent_cnn"])
 def test_full_run_trajectory_band(trainer):
     """Both CLIs (subprocesses, native init/shuffle each; the CNN race

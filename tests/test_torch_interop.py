@@ -376,3 +376,70 @@ def test_hybrid_interop_forward_parity():
         got2 = np.asarray(ours.apply({"params": p2}, jnp.asarray(x),
                                      deterministic=True))
     np.testing.assert_allclose(got2, expected, rtol=1e-4, atol=1e-4)
+
+
+@needs_reference
+def test_style_extractor_interop():
+    """AFS StyleExtractor interop: our stacked-leaf (vmapped) layout ↔ the
+    reference's per-block naming (reference afs/style_extractor.py:76-116).
+    Strict load into the reference's own class, eval-mode forward parity,
+    and a bit-exact roundtrip incl. BatchNorm running stats."""
+    from tests.torch_refs_aux import (
+        install_fake_psp_modules,
+        install_fake_torchvision,
+    )
+
+    from fer_vit_tpu.afs.style_extractor import StyleExtractor
+    from fer_vit_tpu.interop import (
+        style_extractor_from_torch_state_dict,
+        style_extractor_to_torch_state_dict,
+    )
+
+    n_layers = 5
+    h = StyleExtractor(n_layers=n_layers)
+    variables = h.init(jax.random.key(0), jnp.zeros((2, n_layers, 512)))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    # one train-mode forward so the running stats are non-trivial
+    rng = np.random.default_rng(0)
+    _, upd = h.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(rng.normal(size=(4, n_layers, 512)).astype(np.float32)),
+        deterministic=False, mutable=["batch_stats"])
+    batch_stats = upd["batch_stats"]
+
+    sd = style_extractor_to_torch_state_dict(params, batch_stats)
+
+    # afs/__init__ imports losses/image_provider → stub the absent
+    # third_party pSp modules and torchvision before importing
+    install_fake_torchvision()
+    install_fake_psp_modules(arcface_plan=[(64, 64, 1)], feat_hw=7)
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from afs.style_extractor import StyleExtractor as RefStyleExtractor
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    h_ref = RefStyleExtractor(n_layers=n_layers)
+    res = h_ref.load_state_dict(sd, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    h_ref.eval()
+
+    x = np.random.default_rng(1).normal(
+        size=(3, n_layers, 512)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = h_ref(torch.from_numpy(x)).numpy()
+    with jax.default_matmul_precision("highest"):
+        ours_out = np.asarray(h.apply(
+            {"params": params, "batch_stats": batch_stats}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours_out, ref_out, atol=5e-6)
+
+    p2, bs2 = style_extractor_from_torch_state_dict(sd, params, batch_stats)
+    for (ka, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(ka))
+    for (ka, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(batch_stats),
+            jax.tree_util.tree_leaves_with_path(bs2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(ka))

@@ -292,7 +292,10 @@ def install_fake_torchvision():
         # dunders must miss like a normal module.
         if name.startswith("__"):
             raise AttributeError(name)
-        return type(name, (), {})
+        # instantiable with any args: afs/image_provider.py builds a
+        # transforms.Compose([...]) pipeline at import time.
+        return type(name, (), {"__init__": lambda self, *a, **k: None,
+                               "__call__": lambda self, *a, **k: None})
 
     tr.__getattr__ = _placeholder
     tv.transforms = tr
@@ -300,3 +303,48 @@ def install_fake_torchvision():
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = tr
     return prev
+
+
+def install_fake_psp_modules(arcface_plan, feat_hw=7):
+    """Register stub ``models.encoders.model_irse`` / ``criteria.lpips.lpips``
+    modules — the reference's AFS losses import them from the absent
+    ``third_party/pixel2style2pixel`` repo (reference afs/losses.py:29-37).
+    The stubs are the oracle replicas above with a configurable reduced
+    plan; checked-in naming matches InsightFace / lpips-package, so weights
+    flow through the same converters both frameworks use for the real
+    checkpoints. Returns nothing; overwrites any previous registration."""
+    import sys
+    import types
+
+    m_root = types.ModuleType("models")
+    m_enc = types.ModuleType("models.encoders")
+    m_irse = types.ModuleType("models.encoders.model_irse")
+
+    class Backbone(ArcFaceBackboneRef):
+        # reference signature: Backbone(input_size, num_layers, drop_ratio,
+        # mode) — the stub pins the reduced donor plan instead; dropout is
+        # position-preserved and inert (the extractor runs eval()).
+        def __init__(self, input_size=112, num_layers=50, drop_ratio=0.6,
+                     mode="ir_se"):
+            super().__init__(plan=arcface_plan, feat_hw=feat_hw)
+
+    m_irse.Backbone = Backbone
+    m_root.encoders = m_enc
+    m_enc.model_irse = m_irse
+
+    c_root = types.ModuleType("criteria")
+    c_lp = types.ModuleType("criteria.lpips")
+    c_lpl = types.ModuleType("criteria.lpips.lpips")
+
+    class LPIPS(LPIPSRef):
+        def __init__(self, net_type="alex"):
+            super().__init__(AlexFeaturesRef())
+
+    c_lpl.LPIPS = LPIPS
+    c_lp.lpips = c_lpl
+    c_root.lpips = c_lp
+    for name, mod in [("models", m_root), ("models.encoders", m_enc),
+                      ("models.encoders.model_irse", m_irse),
+                      ("criteria", c_root), ("criteria.lpips", c_lp),
+                      ("criteria.lpips.lpips", c_lpl)]:
+        sys.modules[name] = mod
