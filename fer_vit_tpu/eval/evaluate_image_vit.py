@@ -59,24 +59,14 @@ def _load_torch_model(checkpoint_path: str):
     """Reference-format torch ImageViT checkpoint → (model, variables,
     config, img_size) via fer_vit_tpu.interop (same route as
     evaluate_model.load_torch_model)."""
-    import torch
+    from fer_vit_tpu.interop import (
+        from_torch_state_dict,
+        read_torch_checkpoint,
+    )
 
-    from fer_vit_tpu.interop import from_torch_state_dict
-
-    try:
-        ckpt = torch.load(checkpoint_path, map_location="cpu",
-                          weights_only=False)
-    except TypeError:
-        ckpt = torch.load(checkpoint_path, map_location="cpu")
-    config = ckpt.get("config", {})
-    if not config and "args" in ckpt:
-        config = vars(ckpt["args"])
-    model_config = config.get("model", config)
+    ckpt, config, model_config, sd = read_torch_checkpoint(checkpoint_path)
     model = model_from_config(model_config)
     img_size = model_config.get("img_size", 224)
-    sd = ckpt.get("model_state_dict") or ckpt.get("model_state")
-    if sd is None:
-        raise KeyError("Model state dict not found in checkpoint")
     tv = model.init(jax.random.key(0), jnp.zeros((1, img_size, img_size, 3)))
     params, batch_stats = from_torch_state_dict(
         "image_vit", sd, tv["params"], tv.get("batch_stats"),
@@ -134,8 +124,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "ignored (JAX manages devices)")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--img_size", type=int, default=0,
-                        help="resize images to this size (0 = use the "
-                             "checkpoint's img_size)")
+                        help="expected eval resolution; must match the "
+                             "checkpoint's img_size (0 = auto from the "
+                             "checkpoint)")
     return parser
 
 
@@ -143,6 +134,15 @@ def main(args) -> dict:
     os.makedirs(args.output_dir, exist_ok=True)
     model, variables, config, img_size = load_model(args.checkpoint_path)
     if getattr(args, "img_size", 0):
+        if args.img_size != img_size:
+            # The model is built from the checkpoint's geometry; its learned
+            # pos-embedding is fixed at that token count, so a different
+            # eval resolution cannot work — fail with the reason instead of
+            # a shape error deep inside model.apply.
+            raise SystemExit(
+                f"--img_size {args.img_size} != checkpoint img_size "
+                f"{img_size}: ImageViT's pos-embedding is fixed at the "
+                "training resolution; use --img_size 0 (auto).")
         img_size = args.img_size
     store = ImageStore.load(args.test_dir, img_size)
 

@@ -44,6 +44,24 @@ def model_from_config(model_config: dict):
     (reference discrimination logic, eval/evaluate_model.py:50-114)."""
     model_config = dict(model_config)
     model_config.setdefault("num_classes", 7)
+    if "img_size" in model_config or "patch_size" in model_config:
+        # rebuild extension: image checkpoints route here too (the
+        # reference splits this into eval/evaluate_image_vit.py). Image
+        # configs also carry model_size (tiny/small/base/custom, reference
+        # train/train_image_vit.py:237-246), so this check must come
+        # before the hybrid one.
+        from fer_vit_tpu.models import ImageViT
+
+        return ImageViT(
+            img_size=model_config.get("img_size", 224),
+            patch_size=model_config.get("patch_size", 16),
+            embed_dim=model_config.get("embed_dim", 768),
+            depth=model_config.get("depth", 12),
+            heads=model_config.get("heads", 12),
+            mlp_dim=model_config.get("mlp_dim", 3072),
+            num_classes=model_config["num_classes"],
+            dropout=model_config.get("dropout", 0.1),
+        )
     if "model_size" in model_config:
         return create_hybrid_latent_vit(
             latent_dim=model_config.get("latent_dim", 512),
@@ -60,21 +78,6 @@ def model_from_config(model_config: dict):
             seq_len=model_config.get("seq_len", 18),
             num_classes=model_config["num_classes"],
             dropout=model_config.get("dropout", 0.3),
-        )
-    if "img_size" in model_config or "patch_size" in model_config:
-        # rebuild extension: image checkpoints route here too (the
-        # reference splits this into eval/evaluate_image_vit.py)
-        from fer_vit_tpu.models import ImageViT
-
-        return ImageViT(
-            img_size=model_config.get("img_size", 224),
-            patch_size=model_config.get("patch_size", 16),
-            embed_dim=model_config.get("embed_dim", 768),
-            depth=model_config.get("depth", 12),
-            heads=model_config.get("heads", 12),
-            mlp_dim=model_config.get("mlp_dim", 3072),
-            num_classes=model_config["num_classes"],
-            dropout=model_config.get("dropout", 0.1),
         )
     common = dict(
         latent_dim=model_config.get("latent_dim", 512),
@@ -115,35 +118,14 @@ def load_torch_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
     reference: eval/evaluate_model.py:30-132): rebuild the model from the
     embedded config (``config``/``args``/defaults), convert the state_dict
     into our pytrees, → (model, variables, full_config)."""
-    import torch
-
     from fer_vit_tpu.interop import (
         from_torch_state_dict,
         model_kind_from_config,
+        read_torch_checkpoint,
     )
 
-    try:
-        ckpt = torch.load(checkpoint_path, map_location="cpu",
-                          weights_only=False)
-    except TypeError:  # torch < 2.6 has no weights_only kwarg
-        ckpt = torch.load(checkpoint_path, map_location="cpu")
-    if "config" in ckpt:
-        config = ckpt["config"]
-        model_config = config.get("model", config)
-    elif "args" in ckpt:
-        config = vars(ckpt["args"])
-        model_config = config
-    else:
-        print("Warning: Config not found in checkpoint, using default values")
-        config = {}
-        model_config = {}
+    ckpt, config, model_config, sd = read_torch_checkpoint(checkpoint_path)
     model = model_from_config(model_config)
-    if "model_state_dict" in ckpt:
-        sd = ckpt["model_state_dict"]
-    elif "model_state" in ckpt:
-        sd = ckpt["model_state"]
-    else:
-        raise KeyError("Model state dict not found in checkpoint")
 
     if "img_size" in model_config or "patch_size" in model_config:
         sample = jnp.zeros((1, model_config.get("img_size", 224),
@@ -175,10 +157,13 @@ def load_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
     model_config = config.get("model", config)
     model = model_from_config(model_config)
 
-    seq_len = model_config.get("seq_len", 18)
-    latent_dim = model_config.get("latent_dim", 512)
-    template_vars = model.init(jax.random.key(0),
-                               jnp.zeros((1, seq_len, latent_dim)))
+    if "img_size" in model_config or "patch_size" in model_config:
+        img = model_config.get("img_size", 224)
+        sample = jnp.zeros((1, img, img, 3))
+    else:
+        sample = jnp.zeros((1, model_config.get("seq_len", 18) or 18,
+                            model_config.get("latent_dim", 512)))
+    template_vars = model.init(jax.random.key(0), sample)
     from fer_vit_tpu.train.harness import TrainState, make_optimizer, TrainConfig
 
     # Rebuild the optimizer pytree with the run's own settings so the

@@ -10,6 +10,7 @@ framework-trained model exports to a reference-readable ``.pt``.
 from fer_vit_tpu.interop.torch_state import (  # noqa: F401
     from_torch_state_dict,
     model_kind_from_config,
+    read_torch_checkpoint,
     style_extractor_from_torch_state_dict,
     style_extractor_to_torch_state_dict,
     to_torch_state_dict,

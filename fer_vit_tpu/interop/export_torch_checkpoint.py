@@ -25,6 +25,13 @@ def export_checkpoint(checkpoint_path: str, output_path: str) -> dict:
     )
     from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
 
+    from fer_vit_tpu.eval.evaluate_model import _is_torch_checkpoint
+
+    if _is_torch_checkpoint(checkpoint_path):
+        raise SystemExit(
+            f"{checkpoint_path} is already a torch-format checkpoint; "
+            "export converts this framework's flax-msgpack checkpoints "
+            "only (the reference can read it as-is).")
     model, variables, config = load_model(checkpoint_path)
     model_config = config.get("model", config)
     kind = model_kind_from_config(model_config)

@@ -285,6 +285,12 @@ def entries_for(model_kind: str, params: Dict[str, Any],
 def model_kind_from_config(model_config: Dict[str, Any]) -> str:
     """The reference's checkpoint-discrimination logic as a kind string
     (reference: eval/evaluate_model.py:50-114 + our evaluate_model)."""
+    # Image configs carry BOTH model_size (tiny/small/base/custom,
+    # reference train/train_image_vit.py:237-246) and img_size/patch_size,
+    # so the image check must come before the hybrid one (hybrid configs
+    # never store image geometry).
+    if "img_size" in model_config or "patch_size" in model_config:
+        return "image_vit"
     if "model_size" in model_config:
         return "hybrid"
     if "model_type" in model_config:
@@ -292,8 +298,6 @@ def model_kind_from_config(model_config: Dict[str, Any]) -> str:
     if any(model_config.get(k) for k in
            ("use_lwn", "use_spe", "use_leam", "use_lwn_residual")):
         return "latent_vit_v2"
-    if "img_size" in model_config or "patch_size" in model_config:
-        return "image_vit"
     return "latent_vit"
 
 
@@ -326,6 +330,38 @@ def _convert_lwn_to_torch(params, out: Dict[str, np.ndarray]) -> None:
 # -- public API ---------------------------------------------------------------
 
 
+def read_torch_checkpoint(path: str):
+    """torch.load a reference-format checkpoint and extract
+    ``(ckpt, config, model_config, state_dict)`` with the reference's
+    container fallbacks (reference eval/evaluate_model.py:36-60,115-122:
+    ``config`` takes precedence over legacy ``args``; state dict under
+    ``model_state_dict`` then ``model_state``). Single source of truth for
+    every eval/export CLI that reads torch checkpoints."""
+    import torch
+
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except TypeError:  # torch < 2.6 has no weights_only kwarg
+        ckpt = torch.load(path, map_location="cpu")
+    if "config" in ckpt:
+        config = ckpt["config"]
+        model_config = config.get("model", config)
+    elif "args" in ckpt:
+        config = vars(ckpt["args"])
+        model_config = config
+    else:
+        print("Warning: Config not found in checkpoint, using default values")
+        config = {}
+        model_config = {}
+    if "model_state_dict" in ckpt:
+        sd = ckpt["model_state_dict"]
+    elif "model_state" in ckpt:
+        sd = ckpt["model_state"]
+    else:
+        raise KeyError("Model state dict not found in checkpoint")
+    return ckpt, config, model_config, sd
+
+
 def from_torch_state_dict(model_kind: str, sd: Dict[str, Any],
                           template_params: Dict[str, Any],
                           template_batch_stats: Dict[str, Any] | None = None,
@@ -344,9 +380,8 @@ def from_torch_state_dict(model_kind: str, sd: Dict[str, Any],
     params = jax.tree_util.tree_map(np.asarray, template_params)
     batch_stats = jax.tree_util.tree_map(
         np.asarray, template_batch_stats or {})
-    covered = {("params",) + e[2] if e[1] == "params" else ("batch_stats",)
-               + e[2] for e in entries_for(model_kind, params, config or {})}
-    for tk, coll, path, kind in entries_for(model_kind, params, config or {}):
+    entries = entries_for(model_kind, params, config or {})
+    for tk, coll, path, kind in entries:
         tree = params if coll == "params" else batch_stats
         if tk not in sd:
             raise KeyError(f"{model_kind}: torch key {tk!r} missing "
@@ -360,7 +395,26 @@ def from_torch_state_dict(model_kind: str, sd: Dict[str, Any],
         _set(tree, path, arr)
     if model_kind == "latent_vit_v2":
         _convert_lwn_from_torch(sd, params)
-    _ = covered  # (kept for debuggability)
+    # Loud coverage check (the docstring's promise): every template leaf
+    # must have been written by the mapping table (or the v2 stacked-LWN
+    # special case above) — an uncovered leaf would silently keep its
+    # random-init value and yield a wrong-but-plausible model.
+    covered = {(coll,) + tuple(path) for _, coll, path, _ in entries}
+    special = {("params", "lwn"), ("params", "spe", "groups")}
+    uncovered = []
+    for coll_name, tree in (("params", params),
+                            ("batch_stats", batch_stats)):
+        for kp, _leaf in jax.tree_util.tree_leaves_with_path(tree):
+            path = tuple(str(getattr(k, "key", k)) for k in kp)
+            full = (coll_name,) + path
+            if full in covered or any(
+                    full[:len(s)] == s for s in special):
+                continue
+            uncovered.append("/".join(full))
+    if uncovered:
+        raise KeyError(
+            f"{model_kind}: template leaves not covered by the torch "
+            f"mapping: {sorted(uncovered)}")
     return params, batch_stats
 
 

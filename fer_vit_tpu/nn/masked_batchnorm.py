@@ -86,7 +86,10 @@ class MaskedBatchNorm(nn.Module):
                 spatial = 1.0
                 for d in red[1:]:
                     spatial *= x.shape[d]
-                n = jnp.sum(w) * spatial
+                # max(n, 1): an all-pad mask would otherwise produce 0/0
+                # NaN moments that permanently poison the running stats;
+                # with the guard the moments stay finite (zero) instead.
+                n = jnp.maximum(jnp.sum(w) * spatial, 1.0)
                 mean = jnp.sum(xf * w, axis=red) / n
                 mean2 = jnp.sum(xf * xf * w, axis=red) / n
             var = jnp.maximum(mean2 - mean * mean, 0.0)

@@ -443,3 +443,27 @@ def test_style_extractor_interop():
             jax.tree_util.tree_leaves_with_path(bs2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=jax.tree_util.keystr(ka))
+
+
+def test_model_kind_image_config_with_model_size():
+    """Real ImageViT checkpoints carry BOTH model_size (tiny/small/base/
+    custom) and img_size/patch_size (reference train/train_image_vit.py:
+    237-246, 317-328) — the image route must win over the hybrid one,
+    which matches on model_size alone."""
+    assert model_kind_from_config(
+        {"model_size": "tiny", "img_size": 224, "patch_size": 16,
+         "embed_dim": 192, "depth": 12}) == "image_vit"
+    assert model_kind_from_config({"model_size": "small"}) == "hybrid"
+
+
+def test_evaluate_model_builds_image_vit_from_image_config():
+    """evaluate_model's config discrimination routes image-geometry
+    configs to ImageViT even when model_size is present."""
+    from fer_vit_tpu.eval.evaluate_model import model_from_config
+    from fer_vit_tpu.models import ImageViT
+
+    m = model_from_config({"model_size": "custom", "img_size": 32,
+                           "patch_size": 8, "embed_dim": 64, "depth": 2,
+                           "heads": 4, "mlp_dim": 128})
+    assert isinstance(m, ImageViT)
+    assert m.img_size == 32
