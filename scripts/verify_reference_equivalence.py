@@ -38,6 +38,11 @@ Part C (rigorous, step-level): the 7th reference trainer — AFS style
   and identical fixed pairs; per-step total losses, per-epoch loss
   components, val metrics and final params+BN stats must agree.
 
+Part D (analysis stack): the reference's latent_analysis SVM CLI
+  (sklearn LinearSVC) raced as a subprocess against our on-device vmapped
+  squared-hinge SVM on the same synthetic latent dir — the saved per-class
+  direction vectors must align (signed cosine ≥ 0.98; measured ≥ 0.9999).
+
 Writes EQUIVALENCE.json. Exit code 0 iff every check passes.
 
 Usage:
@@ -673,6 +678,10 @@ def main(argv=None) -> int:
           f"max_param_diff={res_c['final_param_max_abs_diff']:.2e} "
           f"bn_stat_diff={res_c['final_bnstat_max_abs_diff']:.2e} "
           f"pass={res_c['pass']}")
+    res_d = part_d_expression_directions()
+    report["part_d"] = [res_d]
+    print(f"[part D] expression_directions: min_cosine="
+          f"{res_d['min_cosine_overall']:.6f} pass={res_d['pass']}")
     if not args.skip_part_b:
         for trainer in (("latent_vit",) if args.quick
                         else tuple(PART_B_TRAINERS)):
@@ -686,7 +695,8 @@ def main(argv=None) -> int:
 
     ok = all(r["pass"] for r in report["part_a"]) and all(
         r["pass"] for r in report["part_b"]) and all(
-        r["pass"] for r in report["part_c"])
+        r["pass"] for r in report["part_c"]) and all(
+        r["pass"] for r in report["part_d"])
     report["pass"] = bool(ok)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
@@ -918,6 +928,87 @@ def part_c_style_extractor(epochs: int = 1) -> dict:
             and max_bnstat_diff < 5e-2
         ),
     }
+    return result
+
+
+# -- Part D: the analysis stack vs the reference's actual SVM CLI -------------
+
+
+def part_d_expression_directions(n: int = 210) -> dict:
+    """Race the reference's latent_analysis/compute_expression_direction.py
+    CLI (subprocess: its own sklearn LinearSVC pipeline, reference
+    :36-151) against our analysis CLI (jax backend: vmapped squared-hinge
+    SVM on device) on the same synthetic per-file ``.pt`` latent dir, both
+    methods (binary one-vs-rest + 7-class OvR). Compares the saved
+    direction tensors per class by signed cosine similarity — the
+    direction vectors ARE the product (LatentDecomposer consumes them
+    verbatim), so cosine alignment is the complete functional claim."""
+    import torch
+
+    x, y = _make_data(n, seed=20)
+    work = tempfile.mkdtemp(prefix="refdirs_")
+    try:
+        lat_dir = os.path.join(work, "latents")
+        _write_pt_dir(lat_dir, x, y)
+        ref_out = os.path.join(work, "ref_dirs")
+        our_out = os.path.join(work, "our_dirs")
+
+        r_ref = subprocess.run(
+            [sys.executable,
+             os.path.join(REFERENCE_ROOT,
+                          "latent_analysis/compute_expression_direction.py"),
+             "--latent_dir", lat_dir, "--output_dir", ref_out,
+             "--method", "both"],
+            capture_output=True, text=True, timeout=1200)
+        if r_ref.returncode != 0:
+            raise RuntimeError(
+                f"reference SVM CLI failed:\n{r_ref.stderr[-3000:]}")
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+                   PYTHONPATH=REPO)
+        r_our = subprocess.run(
+            [sys.executable, "-m", "fer_vit_tpu.analysis.expression_directions",
+             "--latent_dir", lat_dir, "--output_dir", our_out,
+             "--method", "both", "--backend", "jax", "--steps", "3000",
+             "--also_pt"],
+            env=env, capture_output=True, text=True, timeout=1200)
+        if r_our.returncode != 0:
+            raise RuntimeError(
+                f"our analysis CLI failed:\n{r_our.stderr[-3000:]}")
+
+        result = {"trainer": "compute_expression_direction", "methods": {}}
+        worst = 1.0
+        for method in ("binary", "multiclass"):
+            ref_pt = torch.load(
+                os.path.join(ref_out, f"{method}_directions.pt"),
+                map_location="cpu", weights_only=False)
+            our_pt = torch.load(
+                os.path.join(our_out, f"{method}_directions.pt"),
+                map_location="cpu", weights_only=False)
+            assert ref_pt["seq_len"] == our_pt["seq_len"] == 18
+            cosines = []
+            for cls in range(7):
+                a = np.asarray(ref_pt["directions"][cls]).ravel()
+                b = np.asarray(our_pt["directions"][cls]).ravel()
+                cosines.append(float(
+                    np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))))
+            worst = min(worst, min(cosines))
+            result["methods"][method] = {
+                "per_class_cosine": [round(c, 6) for c in cosines],
+                "min_cosine": min(cosines),
+            }
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+    result["min_cosine_overall"] = worst
+    # Signed cosine ≥ 0.98: the two optimizers (liblinear dual coordinate
+    # descent vs jitted Adam on the same squared-hinge objective) reach
+    # the same separator up to solver tolerance; a sign flip or a wrong
+    # objective (wrong C, unbalanced weights, hinge vs squared-hinge)
+    # lands far below this band.
+    result["pass"] = bool(worst >= 0.98)
     return result
 
 

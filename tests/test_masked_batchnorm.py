@@ -131,3 +131,18 @@ def test_latent_cnn_models_thread_mask():
                     jax.tree_util.tree_leaves(upd_p["batch_stats"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_all_pad_mask_stays_finite():
+    """An all-pad mask must not 0/0-NaN the batch moments (which would
+    permanently poison the running stats); moments clamp to finite."""
+    from fer_vit_tpu.nn.masked_batchnorm import MaskedBatchNorm
+
+    bn = MaskedBatchNorm(use_running_average=False)
+    v = bn.init(jax.random.PRNGKey(0), jnp.zeros((4, 8)))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)),
+                    jnp.float32)
+    out, upd = bn.apply(v, x, mask=jnp.zeros(4), mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out)).all()
+    for leaf in jax.tree_util.tree_leaves(upd["batch_stats"]):
+        assert np.isfinite(np.asarray(leaf)).all()

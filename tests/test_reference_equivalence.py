@@ -56,6 +56,19 @@ def test_style_extractor_step_level_equivalence():
 
 
 @needs_reference
+def test_expression_directions_match_reference_cli():
+    """The reference's latent_analysis SVM CLI (sklearn LinearSVC) vs our
+    on-device vmapped squared-hinge SVM on the same synthetic latent dir:
+    saved per-class directions align to cosine ≥ 0.98 (measured ≥0.9999),
+    both binary and multiclass methods."""
+    import verify_reference_equivalence as vre
+
+    res = vre.part_d_expression_directions()
+    assert res["pass"], res
+    assert res["min_cosine_overall"] >= 0.98
+
+
+@needs_reference
 @pytest.mark.parametrize("trainer",
                          ["latent_vit", "latent_cnn", "latent_vit_v2"])
 def test_full_run_trajectory_band(trainer):
