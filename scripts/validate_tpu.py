@@ -14,6 +14,9 @@ Stages
   genlat    the north-star generate_latents pipeline (SURVEY §3.2):
             native decode → jitted pSp encode → sharded packs +
             resumable manifest → LatentStore roundtrip
+  afs       the fused AFS train step (SURVEY §3.4): 3 StyleExtractor
+            forwards + 3 StyleGAN2 syntheses + ArcFace + LPIPS +
+            backward + clipped Adam, finiteness-checked
 
 Each stage prints `<stage> OK`; exits non-zero on the first failure.
 All three passed on the v5e tunnel chip (round-2 validation record in
@@ -130,8 +133,50 @@ def stage_genlat() -> None:
     print("genlat OK", flush=True)
 
 
+def stage_afs() -> None:
+    """The full AFS loss graph on chip: three StyleExtractor forwards
+    (MaskedBatchNorm train mode), three StyleGAN2 syntheses, ArcFace ×2,
+    LPIPS, backward + clipped Adam — one jitted step (SURVEY §3.4)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fer_vit_tpu.afs.losses import AFSLoss
+    from fer_vit_tpu.afs.style_extractor import StyleExtractor
+    from fer_vit_tpu.afs.train_style_extractor import make_train_step
+    from fer_vit_tpu.encoders.stylegan2 import Generator
+
+    plan = [(64, 64, 1), (64, 128, 1), (128, 256, 1), (256, 512, 1)]
+    n_latent = 10  # matches a size-64 generator (2·log2(64) − 2)
+    h = StyleExtractor(n_layers=n_latent)
+    variables = h.init(jax.random.key(0), jnp.zeros((2, n_latent, 512)))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    gen = Generator(size=64, channel_multiplier=1)
+    w0 = jnp.zeros((1, gen.n_latent, 512))
+    gen_vars = gen.init(jax.random.key(1), [w0])
+    criterion = AFSLoss(lambda_cons=0.1, arcface_plan=plan)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1.0))
+    opt_state = tx.init(params)
+    jit_step, _ = make_train_step(h, gen, gen_vars, criterion, 1e-3,
+                                  use_provider_a=True)
+    rng = np.random.default_rng(2)
+    w_src = jnp.asarray(rng.normal(size=(4, n_latent, 512)), jnp.float32)
+    w_tgt = jnp.asarray(rng.normal(size=(4, n_latent, 512)), jnp.float32)
+    dummy = jnp.zeros((4, 256, 256, 3), jnp.float32)
+    last = None
+    for _ in range(2):
+        params, batch_stats, opt_state, loss, metrics = jit_step(
+            params, batch_stats, opt_state, jnp.float32(1e-3),
+            w_src, w_tgt, dummy, dummy)
+        last = float(loss)
+        assert np.isfinite(last), last
+    for leaf in jax.tree_util.tree_leaves((params, batch_stats)):
+        assert np.isfinite(np.asarray(leaf)).all()
+    print(f"afs OK (loss={last:.4f})", flush=True)
+
+
 STAGES = {"encoder": stage_encoder, "train": stage_train,
-          "genlat": stage_genlat}
+          "genlat": stage_genlat, "afs": stage_afs}
 
 
 def main() -> None:
