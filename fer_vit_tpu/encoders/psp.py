@@ -270,10 +270,12 @@ def calibrate_act_quant(encoder: PSpEncoder, variables, sample_images,
     import jax
 
     cal_enc = dataclasses.replace(encoder, act_quant_calibrate=True)
-    # seed the collection structure so calibrate-mode apply can mutate it
+    # seed the collection structure so calibrate-mode apply can mutate it.
+    # Init must run at input_size — the apply below resizes to it, and the
+    # spatial >= min_hw tap conditions depend on H/W at trace time.
     if "act_quant" not in variables:
-        sample = jnp.zeros((1,) + tuple(sample_images.shape[1:]),
-                           jnp.float32)
+        sample = jnp.zeros(
+            (1, encoder.input_size, encoder.input_size, 3), jnp.float32)
         aq0 = cal_enc.init(jax.random.key(0), sample).get("act_quant", {})
         variables = dict(variables, act_quant=aq0)
     _, upd = cal_enc.apply(variables, preprocess_images(

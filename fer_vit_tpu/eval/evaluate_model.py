@@ -48,20 +48,13 @@ def model_from_config(model_config: dict):
         # rebuild extension: image checkpoints route here too (the
         # reference splits this into eval/evaluate_image_vit.py). Image
         # configs also carry model_size (tiny/small/base/custom, reference
-        # train/train_image_vit.py:237-246), so this check must come
-        # before the hybrid one.
-        from fer_vit_tpu.models import ImageViT
+        # train/train_image_vit.py:237-246) whose presets override the raw
+        # CLI dims saved in the config, and use_pretrained selects the timm
+        # architecture — delegate to the image evaluator's builder, which
+        # owns that logic (lazy import: it imports us for _plots).
+        from fer_vit_tpu.eval import evaluate_image_vit
 
-        return ImageViT(
-            img_size=model_config.get("img_size", 224),
-            patch_size=model_config.get("patch_size", 16),
-            embed_dim=model_config.get("embed_dim", 768),
-            depth=model_config.get("depth", 12),
-            heads=model_config.get("heads", 12),
-            mlp_dim=model_config.get("mlp_dim", 3072),
-            num_classes=model_config["num_classes"],
-            dropout=model_config.get("dropout", 0.1),
-        )
+        return evaluate_image_vit.model_from_config(model_config)
     if "model_size" in model_config:
         return create_hybrid_latent_vit(
             latent_dim=model_config.get("latent_dim", 512),
@@ -146,11 +139,17 @@ def load_torch_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
     return model, variables, (config if isinstance(config, dict) else {})
 
 
-def load_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
-    """→ (model, variables, full_config). Polymorphic over BOTH checkpoint
-    containers: this framework's flax-msgpack files and reference-format
-    torch ``.pt`` files (converted on the fly via fer_vit_tpu.interop)."""
+def load_model(checkpoint_path: str, with_meta: bool = False):
+    """→ (model, variables, full_config)[, meta]. Polymorphic over BOTH
+    checkpoint containers: this framework's flax-msgpack files and
+    reference-format torch ``.pt`` files (converted on the fly via
+    fer_vit_tpu.interop). ``with_meta`` additionally returns
+    ``{epoch, metrics, run_id}`` without a second file read (msgpack
+    checkpoints only — the torch route has no framework metadata)."""
     if _is_torch_checkpoint(checkpoint_path):
+        if with_meta:
+            raise ValueError("with_meta is only supported for this "
+                             "framework's msgpack checkpoints")
         return load_torch_model(checkpoint_path)
     raw = ExperimentLogger.load_checkpoint(checkpoint_path)
     config = raw["config"]
@@ -187,6 +186,9 @@ def load_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
         variables["batch_stats"] = state.batch_stats
     print(f"Loaded checkpoint (epoch {restored['epoch']}) from "
           f"{checkpoint_path}")
+    if with_meta:
+        meta = {k: restored[k] for k in ("epoch", "metrics", "run_id")}
+        return model, variables, config, meta
     return model, variables, config
 
 

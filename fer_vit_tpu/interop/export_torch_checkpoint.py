@@ -18,33 +18,33 @@ import argparse
 def export_checkpoint(checkpoint_path: str, output_path: str) -> dict:
     import torch
 
-    from fer_vit_tpu.eval.evaluate_model import load_model
+    from fer_vit_tpu.eval.evaluate_model import (
+        _is_torch_checkpoint,
+        load_model,
+    )
     from fer_vit_tpu.interop import (
         model_kind_from_config,
         to_torch_state_dict,
     )
-    from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
-
-    from fer_vit_tpu.eval.evaluate_model import _is_torch_checkpoint
 
     if _is_torch_checkpoint(checkpoint_path):
         raise SystemExit(
             f"{checkpoint_path} is already a torch-format checkpoint; "
             "export converts this framework's flax-msgpack checkpoints "
             "only (the reference can read it as-is).")
-    model, variables, config = load_model(checkpoint_path)
+    model, variables, config, meta = load_model(checkpoint_path,
+                                                with_meta=True)
     model_config = config.get("model", config)
     kind = model_kind_from_config(model_config)
     sd = to_torch_state_dict(kind, variables["params"],
                              variables.get("batch_stats"),
                              config=model_config)
-    raw = ExperimentLogger.load_checkpoint(checkpoint_path)
     payload = {
-        "epoch": raw["epoch"],
+        "epoch": meta["epoch"],
         "model_state_dict": sd,
-        "metrics": raw["metrics"],
+        "metrics": meta["metrics"],
         "config": config,
-        "run_id": raw["run_id"],
+        "run_id": meta["run_id"],
     }
     torch.save(payload, output_path)
     print(f"Exported {kind} checkpoint → {output_path} "

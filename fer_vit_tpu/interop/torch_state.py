@@ -312,7 +312,13 @@ def _convert_lwn_from_torch(sd, params) -> None:
         [np.asarray(sd[f"lwn.norms.{i}.weight"]) for i in range(L)])
     params["lwn"]["bias"] = np.stack(
         [np.asarray(sd[f"lwn.norms.{i}.bias"]) for i in range(L)])
-    if "lwn.gate" in sd and "gate" in params["lwn"]:
+    if "gate" in params["lwn"]:
+        # the ("params","lwn") coverage exemption below would hide a
+        # silently-uninitialized gate — fail loudly on flag mismatch
+        if "lwn.gate" not in sd:
+            raise KeyError(
+                "template has lwn residual gate but state_dict lacks "
+                "'lwn.gate' (use_lwn_residual mismatch?)")
         params["lwn"]["gate"] = np.asarray(sd["lwn.gate"])
 
 

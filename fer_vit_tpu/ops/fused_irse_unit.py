@@ -396,7 +396,7 @@ def fused_irse_residual(
     # FERVIT_FUSED_UNGATE=1: probe-only escape hatch to measure what
     # actually happens on ineligible shapes (scripts/probe_fused_unit.py);
     # production callers go through BottleneckIRSE._fused_eligible.
-    if not interpret and not _os.environ.get("FERVIT_FUSED_UNGATE"):
+    if not interpret and _os.environ.get("FERVIT_FUSED_UNGATE") != "1":
         if cin % 128:
             raise ValueError(
                 f"fused_irse_residual: Cin={cin} — the HBM window DMA "

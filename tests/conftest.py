@@ -23,3 +23,32 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
+
+
+@pytest.fixture(autouse=True)
+def _no_fake_module_leaks():
+    """Tests (and the in-process equivalence harness) install stub modules
+    under generic names ('timm', 'torchvision', 'models', 'criteria', …)
+    via tests.torch_refs_aux.install_fake_*, then import reference-tree
+    modules ('afs', …) that bind classes FROM those stubs at import time.
+    Snapshot/restore the stub names and evict reference-tree modules
+    imported during the test, so neither a stale stub nor a reference
+    module bound to one can poison a later test (order-dependence)."""
+    import sys
+
+    from tests.torch_refs_aux import FAKE_MODULE_NAMES
+
+    sentinel = object()
+    before = {n: sys.modules.get(n, sentinel) for n in FAKE_MODULE_NAMES}
+    before_keys = set(sys.modules)
+    yield
+    for name, prev in before.items():
+        if prev is sentinel:
+            sys.modules.pop(name, None)
+        else:
+            sys.modules[name] = prev
+    ref_root = os.environ.get("FERVIT_REFERENCE_ROOT", "/root/reference")
+    for name in set(sys.modules) - before_keys:
+        mod_file = getattr(sys.modules.get(name), "__file__", None) or ""
+        if mod_file.startswith(ref_root):
+            sys.modules.pop(name, None)

@@ -82,3 +82,17 @@ class TestEncoderActQuant:
         enc = PSpEncoder(plan=TINY, input_size=32, style_dim=16, n_styles=18)
         v = enc.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
         assert "act_quant" not in v  # checkpoints/variables unchanged
+
+    def test_calibrate_accepts_off_resolution_samples(self):
+        """calibrate_act_quant resizes samples to encoder.input_size; the
+        act_quant seed init must also run at input_size, not the raw
+        sample resolution (a 64px sample used to crash/mis-tap the 32px
+        encoder's init)."""
+        enc_q = PSpEncoder(plan=TINY, input_size=32, style_dim=16,
+                           n_styles=18, act_quant_min_hw=8)
+        v = enc_q.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        v.pop("act_quant", None)
+        imgs64 = np.random.default_rng(1).uniform(
+            0, 255, size=(2, 64, 64, 3)).astype(np.float32)
+        vq = calibrate_act_quant(enc_q, dict(v), imgs64)
+        assert "act_quant" in vq and vq["act_quant"]

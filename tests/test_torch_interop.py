@@ -123,6 +123,31 @@ def test_latent_vit_v2_interop(ref_models):
                   jnp.asarray(x), torch.tensor(x))
 
 
+def test_lwn_gate_flag_mismatch_fails_loudly():
+    """Converting a checkpoint trained without the LWN residual gate into
+    a template built WITH it must raise, not leave the gate at random init
+    (the ('params','lwn') coverage exemption would otherwise hide it)."""
+    from fer_vit_tpu.interop import (
+        from_torch_state_dict,
+        to_torch_state_dict,
+    )
+    from fer_vit_tpu.models import LatentViTv2
+
+    cfg = dict(latent_dim=512, seq_len=18, embed_dim=64, depth=1, heads=4,
+               mlp_dim=128, num_classes=7, dropout=0.0, use_lwn=True,
+               use_spe=False, use_leam=False)
+    no_gate = LatentViTv2(**cfg, use_lwn_residual=False)
+    with_gate = LatentViTv2(**cfg, use_lwn_residual=True)
+    sd = to_torch_state_dict(
+        "latent_vit_v2",
+        no_gate.init(jax.random.key(0), jnp.zeros((1, 18, 512)))["params"],
+        None, config=dict(cfg, use_lwn_residual=False))
+    tmpl = with_gate.init(jax.random.key(1), jnp.zeros((1, 18, 512)))
+    with pytest.raises(KeyError, match="lwn.gate"):
+        from_torch_state_dict("latent_vit_v2", sd, tmpl["params"],
+                              config=dict(cfg, use_lwn_residual=True))
+
+
 @needs_reference
 @pytest.mark.parametrize("model_type", ["standard", "light", "deep", "2d"])
 def test_latent_cnn_interop(ref_models, model_type):
@@ -467,3 +492,19 @@ def test_evaluate_model_builds_image_vit_from_image_config():
                            "heads": 4, "mlp_dim": 128})
     assert isinstance(m, ImageViT)
     assert m.img_size == 32
+
+
+def test_evaluate_model_honors_image_vit_size_presets():
+    """Both trainers save the raw CLI embed_dim/depth/heads even when
+    --model_size tiny built a 192-dim model (reference
+    train/train_image_vit.py:233-246,315-327) — evaluate_model must apply
+    the preset override like evaluate_image_vit does, else preset-size
+    checkpoints rebuild with mismatched shapes."""
+    from fer_vit_tpu.eval.evaluate_model import model_from_config
+
+    m = model_from_config({"model_size": "tiny", "img_size": 224,
+                           "patch_size": 16,
+                           # raw CLI defaults (wrong for tiny):
+                           "embed_dim": 384, "depth": 12, "heads": 6,
+                           "mlp_dim": 1536})
+    assert m.embed_dim == 192 and m.heads == 3 and m.mlp_dim == 768

@@ -249,6 +249,37 @@ class TimmViTStub(nn.Module):
              for _ in range(depth)])
 
 
+_MISSING = object()
+
+# every sys.modules name any install_fake_* below may register — conftest
+# snapshots/restores these around each test so in-process installs cannot
+# leak stubs (incl. the generic top-level names) into later tests
+FAKE_MODULE_NAMES = (
+    "timm", "torchvision", "torchvision.transforms",
+    "models", "models.encoders", "models.encoders.model_irse",
+    "criteria", "criteria.lpips", "criteria.lpips.lpips",
+)
+
+
+def _register(saved, name, mod):
+    import sys
+
+    saved[name] = sys.modules.get(name, _MISSING)
+    sys.modules[name] = mod
+
+
+def restore_fake_modules(saved) -> None:
+    """Undo an ``install_fake_*`` call: reinstate shadowed entries, drop
+    names that did not exist before. ``saved`` is the installer's return."""
+    import sys
+
+    for name, prev in saved.items():
+        if prev is _MISSING:
+            sys.modules.pop(name, None)
+        else:
+            sys.modules[name] = prev
+
+
 def install_fake_timm(cfg_by_name):
     """Register a stub ``timm`` module (timm is absent from this image) so
     the reference's hybrid-family model code imports and constructs. Every
@@ -258,9 +289,8 @@ def install_fake_timm(cfg_by_name):
     Args:
         cfg_by_name: maps timm model names (e.g. ``vit_tiny_patch16_224``)
             to :class:`TimmViTStub` kwargs.
-    Returns the previous ``sys.modules['timm']`` entry (or None).
+    Returns a saved-map for :func:`restore_fake_modules`.
     """
-    import sys
     import types
 
     mod = types.ModuleType("timm")
@@ -269,9 +299,9 @@ def install_fake_timm(cfg_by_name):
         return TimmViTStub(**cfg_by_name[name])
 
     mod.create_model = create_model
-    prev = sys.modules.get("timm")
-    sys.modules["timm"] = mod
-    return prev
+    saved = {}
+    _register(saved, "timm", mod)
+    return saved
 
 
 def install_fake_torchvision():
@@ -280,8 +310,8 @@ def install_fake_torchvision():
     only ``transforms.<Name>`` lazily inside functions (plus ``Compose``
     in return annotations); any attribute resolves to a placeholder
     class. The equivalence harness never runs these transforms — both
-    sides consume pre-built tensors."""
-    import sys
+    sides consume pre-built tensors. Returns a saved-map for
+    :func:`restore_fake_modules`."""
     import types
 
     tv = types.ModuleType("torchvision")
@@ -299,10 +329,10 @@ def install_fake_torchvision():
 
     tr.__getattr__ = _placeholder
     tv.transforms = tr
-    prev = sys.modules.get("torchvision")
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.transforms"] = tr
-    return prev
+    saved = {}
+    _register(saved, "torchvision", tv)
+    _register(saved, "torchvision.transforms", tr)
+    return saved
 
 
 def install_fake_psp_modules(arcface_plan, feat_hw=7):
@@ -312,8 +342,7 @@ def install_fake_psp_modules(arcface_plan, feat_hw=7):
     The stubs are the oracle replicas above with a configurable reduced
     plan; checked-in naming matches InsightFace / lpips-package, so weights
     flow through the same converters both frameworks use for the real
-    checkpoints. Returns nothing; overwrites any previous registration."""
-    import sys
+    checkpoints. Returns a saved-map for :func:`restore_fake_modules`."""
     import types
 
     m_root = types.ModuleType("models")
@@ -343,8 +372,10 @@ def install_fake_psp_modules(arcface_plan, feat_hw=7):
     c_lpl.LPIPS = LPIPS
     c_lp.lpips = c_lpl
     c_root.lpips = c_lp
+    saved = {}
     for name, mod in [("models", m_root), ("models.encoders", m_enc),
                       ("models.encoders.model_irse", m_irse),
                       ("criteria", c_root), ("criteria.lpips", c_lp),
                       ("criteria.lpips.lpips", c_lpl)]:
-        sys.modules[name] = mod
+        _register(saved, name, mod)
+    return saved
