@@ -682,6 +682,12 @@ def main(argv=None) -> int:
     report["part_d"] = [res_d]
     print(f"[part D] expression_directions: min_cosine="
           f"{res_d['min_cosine_overall']:.6f} pass={res_d['pass']}")
+    res_e = part_e_sefa()
+    report["part_e"] = [res_e]
+    print(f"[part E] sefa: factorize min_cos="
+          f"{res_e['factorize_full']['min_abs_cosine']:.6f} "
+          f"verify max_rate_diff={res_e['verify_max_rate_diff']:.3f} "
+          f"pass={res_e['pass']}")
     if not args.skip_part_b:
         for trainer in (("latent_vit",) if args.quick
                         else tuple(PART_B_TRAINERS)):
@@ -696,7 +702,8 @@ def main(argv=None) -> int:
     ok = all(r["pass"] for r in report["part_a"]) and all(
         r["pass"] for r in report["part_b"]) and all(
         r["pass"] for r in report["part_c"]) and all(
-        r["pass"] for r in report["part_d"])
+        r["pass"] for r in report["part_d"]) and all(
+        r["pass"] for r in report["part_e"])
     report["pass"] = bool(ok)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
@@ -1009,6 +1016,147 @@ def part_d_expression_directions(n: int = 210) -> dict:
     # objective (wrong C, unbalanced weights, hinge vs squared-hinge)
     # lands far below this band.
     result["pass"] = bool(worst >= 0.98)
+    return result
+
+
+# -- Part E: SeFa (factorize + direction verification) -------------------------
+
+
+class _FakeMapping:
+    """Pickleable stand-in for a StyleGAN2 mapping network: only the
+    ``fc0.weight`` attribute the reference's factorizer reads
+    (reference sefa/factorize.py:35-38)."""
+
+    def __init__(self, weight):
+        self.fc0 = SimpleNamespace(weight=weight)
+
+
+class _FakeG:
+    def __init__(self, weight):
+        self.mapping = _FakeMapping(weight)
+
+    def to(self, device):
+        return self
+
+
+def part_e_sefa(d: int = 64, k: int = 8, n: int = 20) -> dict:
+    """Race the reference's OWN ``sefa`` package against
+    ``fer_vit_tpu.analysis.sefa`` on identical inputs.
+
+    E1 — factorize: ``sefa.factorize.factorize_stylegan_weights`` runs
+    unmodified on a pickled fake ``G_ema`` carrying a random mapping-fc0
+    weight; ours factorizes the same matrix (full and ``layer_idx``-sliced
+    paths). Eigenvector signs are arbitrary → per-direction |cosine| and
+    eigenvalue agreement are the claim (reference sefa/factorize.py:44-59).
+
+    E2 — verification: ``sefa.verify_directions`` (the triple Python loop,
+    reference sefa/verify_directions.py:38-78) drives the reference's OWN
+    LatentViT loaded with weights converted from ours via interop, over the
+    same latents/directions/steps as our single vmapped forward — the
+    per-direction label-change rates must agree.
+    """
+    import contextlib
+    import io
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from models_fer_vit.latent_vit import LatentViT as RefLatentViT
+        from sefa.factorize import factorize_stylegan_weights as ref_factorize
+        from sefa.verify_directions import (
+            verify_non_expression_directions as ref_verify,
+        )
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+    from fer_vit_tpu.analysis.sefa import (
+        factorize_weights,
+        verify_non_expression_directions,
+    )
+    from fer_vit_tpu.interop import to_torch_state_dict
+    from fer_vit_tpu.models.latent_vit import LatentViT
+
+    rng = np.random.default_rng(7)
+    weight = rng.normal(size=(d, d)).astype(np.float32)
+    layer_idx = list(range(0, d, 2))
+
+    with tempfile.TemporaryDirectory(prefix="sefa_") as work:
+        pkl = os.path.join(work, "g.pkl")
+        with open(pkl, "wb") as f:
+            pickle.dump({"G_ema": _FakeG(torch.from_numpy(weight))}, f)
+        ref_full = ref_factorize(pkl, num_semantics=k)
+        ref_sliced = ref_factorize(pkl, layer_idx=layer_idx,
+                                   num_semantics=k)
+    with jax.default_matmul_precision("highest"):
+        our_full = factorize_weights(weight, num_semantics=k)
+        our_sliced = factorize_weights(weight, layer_idx=layer_idx,
+                                       num_semantics=k)
+
+    def _fac_stats(ref_fac, our_fac):
+        cosines = [
+            abs(float(np.dot(a, b)
+                      / (np.linalg.norm(a) * np.linalg.norm(b))))
+            for a, b in zip(ref_fac["directions"], our_fac["directions"])]
+        eig_rel = float(np.max(
+            np.abs(ref_fac["eigenvalues"] - our_fac["eigenvalues"])
+            / np.abs(ref_fac["eigenvalues"])))
+        return {"min_abs_cosine": min(cosines),
+                "max_eigenvalue_rel_diff": eig_rel}
+
+    fac_full = _fac_stats(ref_full, our_full)
+    fac_sliced = _fac_stats(ref_sliced, our_sliced)
+
+    cfg = dict(embed_dim=64, depth=1, heads=4, mlp_dim=128)
+    model = LatentViT(latent_dim=512, seq_len=18, num_classes=7,
+                      dropout=0.0, **cfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 18, 512)))
+    sd = to_torch_state_dict(
+        "latent_vit", variables["params"], None,
+        config=dict(cfg, latent_dim=512, seq_len=18, num_classes=7))
+    ref_model = RefLatentViT(latent_dim=512, seq_len=18, num_classes=7,
+                             dropout=0.0, **cfg)
+    res = ref_model.load_state_dict(sd, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    ref_model.eval()
+
+    lat = rng.normal(size=(n, 18, 512)).astype(np.float32)
+    dirs = rng.normal(size=(4, 512)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    steps = [-1.5, 0.0, 1.5]
+
+    buf = io.StringIO()
+    with torch.no_grad(), contextlib.redirect_stdout(buf):
+        ref_rates = ref_verify(dirs, torch.from_numpy(lat), ref_model,
+                               None, step_sizes=steps, device="cpu")
+        with jax.default_matmul_precision("highest"):
+            our_rates = verify_non_expression_directions(
+                dirs, lat, lambda w: model.apply(variables, w),
+                step_sizes=steps, max_samples=n)
+    rate_diffs = [
+        abs(r["label_change_rate"] - o["label_change_rate"])
+        for r, o in zip(ref_rates, our_rates)]
+
+    result = {
+        "trainer": "sefa",
+        "factorize_full": fac_full,
+        "factorize_sliced": fac_sliced,
+        "verify_ref_rates": [r["label_change_rate"] for r in ref_rates],
+        "verify_our_rates": [o["label_change_rate"] for o in our_rates],
+        "verify_max_rate_diff": max(rate_diffs),
+        # factorize: both sides run f32 LAPACK eigh on the same ATA —
+        # only sign/roundoff separates them. verify: rates are counts/n;
+        # one knife-edge argmax flip (logit parity ~1e-6) is 1/n.
+        "pass": bool(
+            fac_full["min_abs_cosine"] >= 0.9999
+            and fac_sliced["min_abs_cosine"] >= 0.9999
+            and fac_full["max_eigenvalue_rel_diff"] <= 1e-3
+            and fac_sliced["max_eigenvalue_rel_diff"] <= 1e-3
+            and max(rate_diffs) <= 1.0 / n),
+    }
     return result
 
 

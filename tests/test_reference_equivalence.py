@@ -69,6 +69,21 @@ def test_expression_directions_match_reference_cli():
 
 
 @needs_reference
+def test_sefa_matches_reference_package():
+    """The reference's OWN sefa package vs fer_vit_tpu.analysis.sefa:
+    factorize on the same mapping-fc0 weight (full + layer_idx-sliced)
+    agrees to |cosine| ≥ 0.9999 per direction with matching eigenvalues,
+    and the reference's triple-loop direction verification — driving its
+    own LatentViT loaded with our converted weights — yields the same
+    per-direction label-change rates as our single vmapped forward."""
+    import verify_reference_equivalence as vre
+
+    res = vre.part_e_sefa()
+    assert res["pass"], res
+    assert res["verify_max_rate_diff"] <= 1.0 / 20
+
+
+@needs_reference
 @pytest.mark.parametrize("trainer",
                          ["latent_vit", "latent_cnn", "latent_vit_v2"])
 def test_full_run_trajectory_band(trainer):
