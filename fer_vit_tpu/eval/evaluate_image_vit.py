@@ -172,6 +172,21 @@ def main(args) -> dict:
     }
     with open(os.path.join(args.output_dir, "evaluation_report.json"), "w") as f:
         json.dump(report, f, indent=2)
+
+    # the reference's exact output file + schema (frozen contract —
+    # reference eval/evaluate_image_vit.py:286-299)
+    from fer_vit_tpu.utils.metrics import classification_report_dict
+
+    results_summary = {
+        "accuracy": m["accuracy"],
+        "classification_report": classification_report_dict(cm, names),
+        "model_config": config.get("model", config),
+        "checkpoint_path": args.checkpoint_path,
+        "test_dataset_size": len(store),
+    }
+    with open(os.path.join(args.output_dir,
+                           "evaluation_results.json"), "w") as f:
+        json.dump(results_summary, f, indent=2)
     return report
 
 

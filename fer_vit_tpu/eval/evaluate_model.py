@@ -34,6 +34,7 @@ from fer_vit_tpu.models import (
 from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
 from fer_vit_tpu.utils.metrics import (
     classification_report,
+    classification_report_dict,
     confusion_update,
     metrics_from_confusion,
 )
@@ -233,6 +234,23 @@ def _plots(cm, probs, preds, labels, out_dir):
         fig.savefig(os.path.join(out_dir, fname), dpi=120)
         plt.close(fig)
 
+    # combined two-panel figure under the reference's filename
+    # (reference eval/evaluate_model.py:162-189)
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(16, 6))
+    sns.heatmap(cm / np.maximum(cm.sum(1, keepdims=True), 1), annot=True,
+                fmt=".2%", cmap="Blues", xticklabels=names,
+                yticklabels=names, ax=ax1)
+    ax1.set_title("Confusion Matrix (Normalized)")
+    sns.heatmap(cm, annot=True, fmt=".0f", cmap="Greens",
+                xticklabels=names, yticklabels=names, ax=ax2)
+    ax2.set_title("Confusion Matrix (Counts)")
+    for ax in (ax1, ax2):
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("Actual")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "confusion_matrix.png"), dpi=120)
+    plt.close(fig)
+
     # per-class precision/recall/F1 bars
     m = metrics_from_confusion(cm)
     x = np.arange(7)
@@ -369,6 +387,21 @@ def main(args) -> dict:
     with open(report_path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"\nReport saved to {report_path}")
+
+    # the reference's exact output file + schema (a frozen contract —
+    # reference eval/evaluate_model.py:423-436); our richer report above
+    # is an extension, this one is what downstream tooling reads
+    results_summary = {
+        "accuracy": m["accuracy"],
+        "classification_report": classification_report_dict(cm, names),
+        "model_config": config.get("model", config),
+        "checkpoint_path": args.checkpoint_path,
+        "test_dataset_size": len(store),
+    }
+    results_path = os.path.join(args.output_dir, "evaluation_results.json")
+    with open(results_path, "w") as f:
+        json.dump(results_summary, f, indent=2)
+    print(f"Summary: {results_path}")
     return report
 
 

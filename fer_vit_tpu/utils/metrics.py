@@ -61,6 +61,39 @@ def metrics_from_confusion(cm: np.ndarray) -> Dict[str, float]:
     }
 
 
+def classification_report_dict(cm: np.ndarray,
+                               class_names: Sequence[str]) -> Dict:
+    """sklearn ``classification_report(..., output_dict=True)`` equivalent
+    derived from the confusion matrix — the reference's eval JSON embeds
+    this structure verbatim (reference eval/evaluate_model.py:423-436), so
+    the key names ('f1-score', 'macro avg', 'weighted avg') are a frozen
+    contract."""
+    m = metrics_from_confusion(cm)
+    present = m["present"]
+    total = float(m["support"].sum())
+    out = {
+        name: {
+            "precision": float(m["precision"][i]),
+            "recall": float(m["recall"][i]),
+            "f1-score": float(m["f1"][i]),
+            "support": float(m["support"][i]),
+        }
+        for i, name in enumerate(class_names)
+    }
+    out["accuracy"] = float(m["accuracy"])
+    p_macro = float(m["precision"][present].mean()) if present.any() else 0.0
+    r_macro = float(m["recall"][present].mean()) if present.any() else 0.0
+    out["macro avg"] = {"precision": p_macro, "recall": r_macro,
+                        "f1-score": float(m["f1_macro"]), "support": total}
+    w = m["support"] / max(total, 1.0)
+    out["weighted avg"] = {
+        "precision": float((m["precision"] * w).sum()),
+        "recall": float((m["recall"] * w).sum()),
+        "f1-score": float(m["f1_weighted"]), "support": total,
+    }
+    return out
+
+
 def classification_report(cm: np.ndarray, class_names: Sequence[str]) -> str:
     """sklearn-style text report derived from the confusion matrix."""
     m = metrics_from_confusion(cm)

@@ -688,6 +688,12 @@ def main(argv=None) -> int:
           f"{res_e['factorize_full']['min_abs_cosine']:.6f} "
           f"verify max_rate_diff={res_e['verify_max_rate_diff']:.3f} "
           f"pass={res_e['pass']}")
+    res_f = part_f_eval_cli()
+    report["part_f"] = [res_f]
+    print(f"[part F] evaluate_model CLI: acc_diff="
+          f"{res_f['accuracy_abs_diff']:.2e} max_report_diff="
+          f"{res_f['max_report_value_diff']:.2e} "
+          f"missing={res_f['missing_artifacts']} pass={res_f['pass']}")
     if not args.skip_part_b:
         for trainer in (("latent_vit",) if args.quick
                         else tuple(PART_B_TRAINERS)):
@@ -703,7 +709,8 @@ def main(argv=None) -> int:
         r["pass"] for r in report["part_b"]) and all(
         r["pass"] for r in report["part_c"]) and all(
         r["pass"] for r in report["part_d"]) and all(
-        r["pass"] for r in report["part_e"])
+        r["pass"] for r in report["part_e"]) and all(
+        r["pass"] for r in report["part_f"])
     report["pass"] = bool(ok)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
@@ -1156,6 +1163,117 @@ def part_e_sefa(d: int = 64, k: int = 8, n: int = 20) -> dict:
             and fac_full["max_eigenvalue_rel_diff"] <= 1e-3
             and fac_sliced["max_eigenvalue_rel_diff"] <= 1e-3
             and max(rate_diffs) <= 1.0 / n),
+    }
+    return result
+
+
+# -- Part F: eval CLI contract race --------------------------------------------
+
+
+def part_f_eval_cli(n: int = 140) -> dict:
+    """Race the reference's eval/evaluate_model.py CLI (subprocess: its own
+    torch loader, sklearn metrics, matplotlib/seaborn plots, reference
+    :330-443) against ``fer_vit_tpu.eval.evaluate_model`` on the SAME
+    reference-format torch checkpoint and latent dir. The claim is the
+    frozen output contract: ``evaluation_results.json`` keys and every
+    number in the embedded sklearn-style classification_report, plus the
+    reference's plot artifact filenames all being produced."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from fer_vit_tpu.interop import to_torch_state_dict
+    from fer_vit_tpu.models.latent_vit import LatentViT
+
+    x, y = _make_data(n, seed=33)
+    cfg = dict(latent_dim=512, seq_len=18, embed_dim=64, depth=1, heads=4,
+               mlp_dim=128, num_classes=7, dropout=0.0)
+    model = LatentViT(**cfg)
+    variables = model.init(jax.random.key(3), jnp.zeros((1, 18, 512)))
+    sd = to_torch_state_dict("latent_vit", variables["params"], None,
+                             config=cfg)
+
+    work = tempfile.mkdtemp(prefix="refeval_")
+    try:
+        lat_dir = os.path.join(work, "latents")
+        _write_pt_dir(lat_dir, x, y)
+        ckpt = os.path.join(work, "model.pt")
+        torch.save({"epoch": 3, "model_state_dict": sd,
+                    "metrics": {"val_f1_macro": 0.0}, "config": cfg,
+                    "run_id": "equiv"}, ckpt)
+        ref_out = os.path.join(work, "ref_eval")
+        our_out = os.path.join(work, "our_eval")
+
+        r_ref = subprocess.run(
+            [sys.executable,
+             os.path.join(REFERENCE_ROOT, "eval/evaluate_model.py"),
+             "--checkpoint_path", ckpt, "--latent_test_dir", lat_dir,
+             "--output_dir", ref_out, "--device", "cpu",
+             "--visualize_samples", "2"],
+            capture_output=True, text=True, timeout=1200)
+        if r_ref.returncode != 0:
+            raise RuntimeError(
+                f"reference eval CLI failed:\n{r_ref.stderr[-3000:]}")
+
+        # HIGHEST matmul precision: the dev CPU's AMX would otherwise add
+        # ~1e-3 bf16 noise to our logits and manufacture argmax flips the
+        # TPU/torch race doesn't have (CLAUDE.md environment note)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+                   JAX_DEFAULT_MATMUL_PRECISION="highest", PYTHONPATH=REPO)
+        r_our = subprocess.run(
+            [sys.executable, "-m", "fer_vit_tpu.eval.evaluate_model",
+             "--checkpoint_path", ckpt, "--latent_test_dir", lat_dir,
+             "--output_dir", our_out, "--visualize_samples", "2"],
+            env=env, capture_output=True, text=True, timeout=1200)
+        if r_our.returncode != 0:
+            raise RuntimeError(f"our eval CLI failed:\n{r_our.stderr[-3000:]}")
+
+        ref_js = json.load(open(os.path.join(ref_out,
+                                             "evaluation_results.json")))
+        our_js = json.load(open(os.path.join(our_out,
+                                             "evaluation_results.json")))
+
+        def _flat(d, pre=""):
+            out = {}
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    out.update(_flat(v, pre + k + "/"))
+                else:
+                    out[pre + k] = float(v)
+            return out
+
+        fr = _flat(ref_js["classification_report"])
+        fo = _flat(our_js["classification_report"])
+        keys_match = set(fr) == set(fo)
+        schema_match = set(ref_js) == set(our_js)
+        max_report_diff = (max(abs(fr[k] - fo[k]) for k in fr)
+                           if keys_match else float("inf"))
+        acc_diff = abs(float(ref_js["accuracy"]) - float(our_js["accuracy"]))
+        ref_files = {f for f in os.listdir(ref_out) if f.endswith(
+            (".png", ".json"))}
+        missing_artifacts = sorted(ref_files - set(os.listdir(our_out)))
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+    result = {
+        "trainer": "evaluate_model_cli",
+        "schema_match": schema_match,
+        "report_keys_match": keys_match,
+        "accuracy_abs_diff": acc_diff,
+        "max_report_value_diff": max_report_diff,
+        "missing_artifacts": missing_artifacts,
+        "test_dataset_size_match": (ref_js["test_dataset_size"]
+                                    == our_js["test_dataset_size"]),
+        # identical preds make every report number an exact float64
+        # rational — allow one knife-edge argmax flip (1/n accuracy,
+        # ≤1/support ≈ 0.05 on a per-class row)
+        "pass": bool(schema_match and keys_match and not missing_artifacts
+                     and acc_diff <= 1.0 / n + 1e-9
+                     and max_report_diff <= 0.06
+                     and ref_js["test_dataset_size"]
+                     == our_js["test_dataset_size"]),
     }
     return result
 

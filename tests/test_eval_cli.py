@@ -56,9 +56,24 @@ class TestEvaluateModel:
         assert report["num_samples"] == 14
         with open(os.path.join(out_dir, "evaluation_report.json")) as f:
             assert json.load(f)["accuracy"] == report["accuracy"]
+        # the reference's own output file + schema (frozen contract)
+        with open(os.path.join(out_dir, "evaluation_results.json")) as f:
+            summary = json.load(f)
+        assert set(summary) == {"accuracy", "classification_report",
+                                "model_config", "checkpoint_path",
+                                "test_dataset_size"}
+        crep = summary["classification_report"]
+        assert set(crep) == {"Angry", "Disgust", "Fear", "Happy", "Neutral",
+                             "Sad", "Surprise", "accuracy", "macro avg",
+                             "weighted avg"}
+        assert set(crep["macro avg"]) == {"precision", "recall", "f1-score",
+                                          "support"}
+        assert summary["accuracy"] == report["accuracy"]
+        assert summary["test_dataset_size"] == 14
 
         produced = set(os.listdir(out_dir))
-        for fname in ("confusion_matrix_normalized.png",
+        for fname in ("confusion_matrix.png",
+                      "confusion_matrix_normalized.png",
                       "confusion_matrix_counts.png",
                       "class_metrics.png",
                       "prediction_confidence.png"):

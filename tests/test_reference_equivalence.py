@@ -84,6 +84,21 @@ def test_sefa_matches_reference_package():
 
 
 @needs_reference
+def test_eval_cli_output_contract_matches_reference():
+    """The reference's eval/evaluate_model.py CLI vs ours on the SAME
+    reference-format torch checkpoint and latent dir: identical
+    evaluation_results.json schema, identical accuracy and
+    classification_report numbers (measured diff 0.0), and every reference
+    plot/JSON artifact filename produced."""
+    import verify_reference_equivalence as vre
+
+    res = vre.part_f_eval_cli()
+    assert res["pass"], res
+    assert res["accuracy_abs_diff"] <= 1.0 / 140 + 1e-9
+    assert not res["missing_artifacts"]
+
+
+@needs_reference
 @pytest.mark.parametrize("trainer",
                          ["latent_vit", "latent_cnn", "latent_vit_v2"])
 def test_full_run_trajectory_band(trainer):
