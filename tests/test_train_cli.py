@@ -41,6 +41,9 @@ CLI_PAIRS = [
     ("fer_vit_tpu.train.train_latent_cnn", "train/train_latent_cnn.py"),
     ("fer_vit_tpu.afs.train_style_extractor",
      "train/train_style_extractor.py"),
+    # eval CLIs share the same frozen flag contract
+    ("fer_vit_tpu.eval.evaluate_model", "eval/evaluate_model.py"),
+    ("fer_vit_tpu.eval.evaluate_image_vit", "eval/evaluate_image_vit.py"),
 ]
 
 
@@ -93,9 +96,15 @@ def _reference_arg_specs(path):
 
 
 # Flags where our default deliberately differs from the reference's —
-# currently none; any future exception must be listed as
+# any exception must be listed as
 # (module, flag): (ref_default, our_default, reason).
-DEFAULT_EXCEPTIONS = {}
+DEFAULT_EXCEPTIONS = {
+    ("fer_vit_tpu.eval.evaluate_image_vit", "--img_size"): (
+        224, 0,
+        "0 = auto-detect from the checkpoint geometry; the reference's "
+        "fixed 224 silently crashes on non-224 checkpoints (its pos-emb "
+        "is trained at the checkpoint resolution)"),
+}
 
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE_ROOT),
