@@ -17,6 +17,14 @@ os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 
 import jax  # noqa: E402
 
+# Hard-pin the suite to the CPU backend. The dev machine's TPU-tunnel
+# sitecustomize (.axon_site on PYTHONPATH) force-overrides the platform
+# config at interpreter start, and with the tunnel down the first device
+# use then HANGS instead of erroring — this update wins over the override
+# so tunnel health never gates the suite (subprocess-spawning tests use
+# tests/env_utils.cpu_env for the same reason).
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

@@ -9,11 +9,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_in_8dev(code: str, timeout: int = 560) -> str:
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_PLATFORM_NAME"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    from tests.env_utils import cpu_env
+
+    env = cpu_env(REPO, "--xla_force_host_platform_device_count=8")
     result = subprocess.run(
         [sys.executable, "-c", code], env=env, cwd=REPO,
         capture_output=True, text=True, timeout=timeout,

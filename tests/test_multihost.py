@@ -57,11 +57,9 @@ def _free_port() -> int:
 def test_two_process_global_reduction():
     port = _free_port()
     coord = f"localhost:{port}"
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_PLATFORM_NAME"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    from tests.env_utils import cpu_env
+
+    env = cpu_env(REPO, "--xla_force_host_platform_device_count=4")
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, str(pid), coord],

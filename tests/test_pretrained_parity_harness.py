@@ -12,8 +12,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_harness_synthetic_mode_all_components(tmp_path):
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    from tests.env_utils import cpu_env
+
+    env = cpu_env(REPO)
     out_json = str(tmp_path / "report.json")
     result = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts",

@@ -12,9 +12,9 @@ class TestStyleGAN2Parity:
     def test_parity_subprocess(self):
         script = os.path.join(os.path.dirname(__file__),
                               "stylegan2_parity_check.py")
-        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-        env["JAX_PLATFORMS"] = "cpu"
-        env["JAX_PLATFORM_NAME"] = "cpu"
+        from tests.env_utils import cpu_env
+
+        env = cpu_env()
         result = subprocess.run(
             [sys.executable, script], env=env,
             capture_output=True, text=True, timeout=560,
