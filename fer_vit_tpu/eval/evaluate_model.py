@@ -119,6 +119,19 @@ def load_torch_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
     )
 
     ckpt, config, model_config, sd = read_torch_checkpoint(checkpoint_path)
+    if (("img_size" in model_config or "patch_size" in model_config)
+            and model_config.get("use_pretrained")):
+        # the interop tables cover the reference's OWN ImageViT class; a
+        # timm-pretrained trunk checkpoint converts through the dedicated
+        # weight converter instead — fail with the route, not a KeyError
+        # deep inside from_torch_state_dict
+        raise NotImplementedError(
+            "this torch checkpoint wraps a timm-pretrained ImageViT "
+            "(use_pretrained=true); convert its trunk via "
+            "fer_vit_tpu.encoders.convert_timm and evaluate with "
+            "fer_vit_tpu.eval.evaluate_image_vit on the converted "
+            "weights — direct state_dict interop covers the reference's "
+            "from-scratch ImageViT only")
     model = model_from_config(model_config)
 
     if "img_size" in model_config or "patch_size" in model_config:

@@ -312,14 +312,19 @@ def _convert_lwn_from_torch(sd, params) -> None:
         [np.asarray(sd[f"lwn.norms.{i}.weight"]) for i in range(L)])
     params["lwn"]["bias"] = np.stack(
         [np.asarray(sd[f"lwn.norms.{i}.bias"]) for i in range(L)])
+    # the ("params","lwn") coverage exemption below would hide a gate
+    # mismatch in either direction — fail loudly on use_lwn_residual skew
     if "gate" in params["lwn"]:
-        # the ("params","lwn") coverage exemption below would hide a
-        # silently-uninitialized gate — fail loudly on flag mismatch
         if "lwn.gate" not in sd:
             raise KeyError(
                 "template has lwn residual gate but state_dict lacks "
                 "'lwn.gate' (use_lwn_residual mismatch?)")
         params["lwn"]["gate"] = np.asarray(sd["lwn.gate"])
+    elif "lwn.gate" in sd:
+        raise KeyError(
+            "state_dict carries a trained 'lwn.gate' but the template has "
+            "no residual gate — converting would silently drop it "
+            "(use_lwn_residual mismatch?)")
 
 
 def _convert_lwn_to_torch(params, out: Dict[str, np.ndarray]) -> None:

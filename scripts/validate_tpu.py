@@ -196,7 +196,9 @@ def main() -> None:
 
     # Single-stage runs merge into an existing same-device record so the
     # per-round artifact can be refreshed incrementally when a stage is
-    # added without re-running the ~20-min encoder compile.
+    # added without re-running the ~20-min encoder compile. Each stage
+    # carries its own run timestamp; stages no longer in STAGES are
+    # dropped on merge so a renamed stage can't gate ok forever.
     record = {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
@@ -206,17 +208,22 @@ def main() -> None:
     if len(wanted) < len(STAGES) and os.path.exists(out_path):
         prev = json.load(open(out_path))
         if prev.get("device") == record["device"]:
-            record["stages"] = prev.get("stages", {})
+            record["stages"] = {k: v for k, v in
+                                prev.get("stages", {}).items()
+                                if k in STAGES}
 
     for name in wanted:
         t0 = time.perf_counter()
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
         try:
             STAGES[name]()
             record["stages"][name] = {
-                "ok": True, "seconds": round(time.perf_counter() - t0, 1)}
+                "ok": True, "seconds": round(time.perf_counter() - t0, 1),
+                "timestamp": stamp}
         except Exception as e:  # record, keep going, fail at the end
             record["stages"][name] = {
                 "ok": False, "seconds": round(time.perf_counter() - t0, 1),
+                "timestamp": stamp,
                 "error": f"{type(e).__name__}: {e}"}
             print(f"{name} FAILED: {type(e).__name__}: {e}", flush=True)
     ok = all(s["ok"] for s in record["stages"].values())

@@ -44,7 +44,7 @@ def _no_fake_module_leaks():
     module bound to one can poison a later test (order-dependence)."""
     import sys
 
-    from tests.torch_refs_aux import FAKE_MODULE_NAMES
+    from tests.env_utils import FAKE_MODULE_NAMES
 
     sentinel = object()
     before = {n: sys.modules.get(n, sentinel) for n in FAKE_MODULE_NAMES}

@@ -16,6 +16,17 @@ import os
 
 AXON_SITE_MARKER = ".axon_site"
 
+# every sys.modules name any tests.torch_refs_aux.install_fake_* call may
+# register — conftest snapshots/restores these around each test so an
+# in-process stub install can never leak (incl. the generic top-level
+# names) into later tests. Lives here (torch-free module) so conftest
+# doesn't make torch an import dependency of the whole suite.
+FAKE_MODULE_NAMES = (
+    "timm", "torchvision", "torchvision.transforms",
+    "models", "models.encoders", "models.encoders.model_irse",
+    "criteria", "criteria.lpips", "criteria.lpips.lpips",
+)
+
 
 def strip_axon_site(pythonpath: str | None) -> str:
     """Drop the TPU-tunnel sitecustomize dir from a PYTHONPATH string."""

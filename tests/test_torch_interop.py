@@ -147,6 +147,16 @@ def test_lwn_gate_flag_mismatch_fails_loudly():
         from_torch_state_dict("latent_vit_v2", sd, tmpl["params"],
                               config=dict(cfg, use_lwn_residual=True))
 
+    # reverse direction: a trained gate must not be silently dropped
+    sd_gate = to_torch_state_dict(
+        "latent_vit_v2", tmpl["params"], None,
+        config=dict(cfg, use_lwn_residual=True))
+    tmpl_no_gate = no_gate.init(jax.random.key(2), jnp.zeros((1, 18, 512)))
+    with pytest.raises(KeyError, match="lwn.gate"):
+        from_torch_state_dict("latent_vit_v2", sd_gate,
+                              tmpl_no_gate["params"],
+                              config=dict(cfg, use_lwn_residual=False))
+
 
 @needs_reference
 @pytest.mark.parametrize("model_type", ["standard", "light", "deep", "2d"])

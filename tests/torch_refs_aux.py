@@ -249,35 +249,22 @@ class TimmViTStub(nn.Module):
              for _ in range(depth)])
 
 
-_MISSING = object()
-
-# every sys.modules name any install_fake_* below may register — conftest
-# snapshots/restores these around each test so in-process installs cannot
-# leak stubs (incl. the generic top-level names) into later tests
-FAKE_MODULE_NAMES = (
-    "timm", "torchvision", "torchvision.transforms",
-    "models", "models.encoders", "models.encoders.model_irse",
-    "criteria", "criteria.lpips", "criteria.lpips.lpips",
-)
+# NOTE: every name an installer below registers must be listed in
+# tests/env_utils.FAKE_MODULE_NAMES — the conftest autouse fixture is the
+# single restore mechanism (it snapshots/restores those sys.modules
+# entries around each test). Outside pytest (the equivalence harness
+# script) the stubs intentionally stay installed for the process lifetime.
 
 
-def _register(saved, name, mod):
+def _register(name, mod):
     import sys
 
-    saved[name] = sys.modules.get(name, _MISSING)
+    from tests.env_utils import FAKE_MODULE_NAMES
+
+    assert name in FAKE_MODULE_NAMES, (
+        f"{name!r} missing from env_utils.FAKE_MODULE_NAMES — the conftest "
+        "leak guard would not restore it")
     sys.modules[name] = mod
-
-
-def restore_fake_modules(saved) -> None:
-    """Undo an ``install_fake_*`` call: reinstate shadowed entries, drop
-    names that did not exist before. ``saved`` is the installer's return."""
-    import sys
-
-    for name, prev in saved.items():
-        if prev is _MISSING:
-            sys.modules.pop(name, None)
-        else:
-            sys.modules[name] = prev
 
 
 def install_fake_timm(cfg_by_name):
@@ -289,7 +276,6 @@ def install_fake_timm(cfg_by_name):
     Args:
         cfg_by_name: maps timm model names (e.g. ``vit_tiny_patch16_224``)
             to :class:`TimmViTStub` kwargs.
-    Returns a saved-map for :func:`restore_fake_modules`.
     """
     import types
 
@@ -299,9 +285,7 @@ def install_fake_timm(cfg_by_name):
         return TimmViTStub(**cfg_by_name[name])
 
     mod.create_model = create_model
-    saved = {}
-    _register(saved, "timm", mod)
-    return saved
+    _register("timm", mod)
 
 
 def install_fake_torchvision():
@@ -310,8 +294,7 @@ def install_fake_torchvision():
     only ``transforms.<Name>`` lazily inside functions (plus ``Compose``
     in return annotations); any attribute resolves to a placeholder
     class. The equivalence harness never runs these transforms — both
-    sides consume pre-built tensors. Returns a saved-map for
-    :func:`restore_fake_modules`."""
+    sides consume pre-built tensors."""
     import types
 
     tv = types.ModuleType("torchvision")
@@ -329,10 +312,8 @@ def install_fake_torchvision():
 
     tr.__getattr__ = _placeholder
     tv.transforms = tr
-    saved = {}
-    _register(saved, "torchvision", tv)
-    _register(saved, "torchvision.transforms", tr)
-    return saved
+    _register("torchvision", tv)
+    _register("torchvision.transforms", tr)
 
 
 def install_fake_psp_modules(arcface_plan, feat_hw=7):
@@ -342,7 +323,7 @@ def install_fake_psp_modules(arcface_plan, feat_hw=7):
     The stubs are the oracle replicas above with a configurable reduced
     plan; checked-in naming matches InsightFace / lpips-package, so weights
     flow through the same converters both frameworks use for the real
-    checkpoints. Returns a saved-map for :func:`restore_fake_modules`."""
+    checkpoints."""
     import types
 
     m_root = types.ModuleType("models")
@@ -372,10 +353,8 @@ def install_fake_psp_modules(arcface_plan, feat_hw=7):
     c_lpl.LPIPS = LPIPS
     c_lp.lpips = c_lpl
     c_root.lpips = c_lp
-    saved = {}
     for name, mod in [("models", m_root), ("models.encoders", m_enc),
                       ("models.encoders.model_irse", m_irse),
                       ("criteria", c_root), ("criteria.lpips", c_lp),
                       ("criteria.lpips.lpips", c_lpl)]:
-        _register(saved, name, mod)
-    return saved
+        _register(name, mod)
