@@ -672,7 +672,7 @@ def main(argv=None) -> int:
         print("reference tree not present; nothing to compare")
         return 0
 
-    report = {"part_a": [], "part_b": []}
+    report = {"part_a": [], "part_b": [], "part_f": []}
     for trainer in ("latent_vit", "latent_vit_v2", "latent_cnn",
                     "hybrid", "expression_aware", "image_vit"):
         res = part_a(trainer, epochs=1 if args.quick else 2)
@@ -699,12 +699,14 @@ def main(argv=None) -> int:
           f"{res_e['factorize_full']['min_abs_cosine']:.6f} "
           f"verify max_rate_diff={res_e['verify_max_rate_diff']:.3f} "
           f"pass={res_e['pass']}")
-    res_f = part_f_eval_cli()
-    report["part_f"] = [res_f]
-    print(f"[part F] evaluate_model CLI: acc_diff="
-          f"{res_f['accuracy_abs_diff']:.2e} max_report_diff="
-          f"{res_f['max_report_value_diff']:.2e} "
-          f"missing={res_f['missing_artifacts']} pass={res_f['pass']}")
+    report["part_f"] = []
+    for fn in (part_f_eval_cli, part_f2_eval_image_cli):
+        res_f = fn()
+        report["part_f"].append(res_f)
+        print(f"[part F] {res_f['trainer']}: acc_diff="
+              f"{res_f['accuracy_abs_diff']:.2e} max_report_diff="
+              f"{res_f['max_report_value_diff']:.2e} "
+              f"missing={res_f['missing_artifacts']} pass={res_f['pass']}")
     if not args.skip_part_b:
         for trainer in (("latent_vit",) if args.quick
                         else tuple(PART_B_TRAINERS)):
@@ -1242,37 +1244,47 @@ def part_f_eval_cli(n: int = 140) -> dict:
         if r_our.returncode != 0:
             raise RuntimeError(f"our eval CLI failed:\n{r_our.stderr[-3000:]}")
 
-        ref_js = json.load(open(os.path.join(ref_out,
-                                             "evaluation_results.json")))
-        our_js = json.load(open(os.path.join(our_out,
-                                             "evaluation_results.json")))
-
-        def _flat(d, pre=""):
-            out = {}
-            for k, v in d.items():
-                if isinstance(v, dict):
-                    out.update(_flat(v, pre + k + "/"))
-                else:
-                    out[pre + k] = float(v)
-            return out
-
-        fr = _flat(ref_js["classification_report"])
-        fo = _flat(our_js["classification_report"])
-        keys_match = set(fr) == set(fo)
-        schema_match = set(ref_js) == set(our_js)
-        max_report_diff = (max(abs(fr[k] - fo[k]) for k in fr)
-                           if keys_match else float("inf"))
-        acc_diff = abs(float(ref_js["accuracy"]) - float(our_js["accuracy"]))
-        ref_files = {f for f in os.listdir(ref_out) if f.endswith(
-            (".png", ".json"))}
-        missing_artifacts = sorted(ref_files - set(os.listdir(our_out)))
+        result = _compare_eval_outputs("evaluate_model_cli", ref_out,
+                                       our_out, n)
     finally:
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
 
-    result = {
-        "trainer": "evaluate_model_cli",
+    return result
+
+
+def _compare_eval_outputs(name: str, ref_out: str, our_out: str,
+                          n: int) -> dict:
+    """Diff two eval output dirs on the frozen evaluation_results.json
+    contract + artifact filenames; see part_f_eval_cli for the claim."""
+    ref_js = json.load(open(os.path.join(ref_out,
+                                         "evaluation_results.json")))
+    our_js = json.load(open(os.path.join(our_out,
+                                         "evaluation_results.json")))
+
+    def _flat(d, pre=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(_flat(v, pre + k + "/"))
+            else:
+                out[pre + k] = float(v)
+        return out
+
+    fr = _flat(ref_js["classification_report"])
+    fo = _flat(our_js["classification_report"])
+    keys_match = set(fr) == set(fo)
+    schema_match = set(ref_js) == set(our_js)
+    max_report_diff = (max(abs(fr[k] - fo[k]) for k in fr)
+                       if keys_match else float("inf"))
+    acc_diff = abs(float(ref_js["accuracy"]) - float(our_js["accuracy"]))
+    ref_files = {f for f in os.listdir(ref_out) if f.endswith(
+        (".png", ".json"))}
+    missing_artifacts = sorted(ref_files - set(os.listdir(our_out)))
+
+    return {
+        "trainer": name,
         "schema_match": schema_match,
         "report_keys_match": keys_match,
         "accuracy_abs_diff": acc_diff,
@@ -1292,6 +1304,97 @@ def part_f_eval_cli(n: int = 140) -> dict:
                      and ref_js["test_dataset_size"]
                      == our_js["test_dataset_size"]),
     }
+
+
+def part_f2_eval_image_cli(n: int = 140, img: int = 48) -> dict:
+    """Same race for the image evaluator: the reference's
+    eval/evaluate_image_vit.py CLI (its own ImageFERDataset + torchvision
+    val transforms + sklearn metrics, reference :27-82,205-300) vs
+    ``fer_vit_tpu.eval.evaluate_image_vit`` on the SAME torch ImageViT
+    checkpoint and the SAME class-dir PNG tree. torchvision is absent from
+    this image, so the reference side gets a faithful functional stub
+    (tests/torch_refs_aux.install_fake_torchvision_functional): PNGs are
+    written at exactly ``img`` px so Resize is identity, and
+    ToTensor/Normalize are exact arithmetic — no stub semantics in play."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from PIL import Image
+
+    from fer_vit_tpu.interop import to_torch_state_dict
+    from fer_vit_tpu.models.image_vit import ImageViT
+
+    x, y = _make_image_data(n, seed=44, img=img)
+    names = ["angry", "disgust", "fear", "happy", "neutral", "sad",
+             "surprise"]
+
+    cfg = dict(img_size=img, patch_size=16, embed_dim=64, depth=1, heads=4,
+               mlp_dim=128, num_classes=7, dropout=0.0)
+    model = ImageViT(**cfg)
+    variables = model.init(jax.random.key(5), jnp.zeros((1, img, img, 3)))
+    sd = to_torch_state_dict("image_vit", variables["params"], None,
+                             config=cfg)
+
+    work = tempfile.mkdtemp(prefix="refevalimg_")
+    try:
+        img_dir = os.path.join(work, "images")
+        for i in range(n):
+            d = os.path.join(img_dir, names[int(y[i])])
+            os.makedirs(d, exist_ok=True)
+            arr = np.clip(x[i] * 255.0, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"s{i:05d}.png"))
+        ckpt = os.path.join(work, "model.pt")
+        torch.save({"epoch": 3, "model_state_dict": sd,
+                    "metrics": {"val_f1_macro": 0.0}, "config": cfg,
+                    "run_id": "equiv"}, ckpt)
+        ref_out = os.path.join(work, "ref_eval")
+        our_out = os.path.join(work, "our_eval")
+
+        runner = os.path.join(work, "run_ref_eval.py")
+        with open(runner, "w") as f:
+            f.write(
+                "import sys\n"
+                f"sys.path.insert(0, {REPO!r})\n"
+                # the reference script derives its project root from
+                # __file__, which under exec() is this runner — insert it
+                # explicitly so `from data.image_dataset import ...` works
+                f"sys.path.insert(0, {REFERENCE_ROOT!r})\n"
+                "from tests.torch_refs_aux import (\n"
+                "    install_fake_torchvision_functional)\n"
+                "install_fake_torchvision_functional()\n"
+                f"sys.argv = ['evaluate_image_vit.py',\n"
+                f"    '--checkpoint_path', {ckpt!r},\n"
+                f"    '--test_dir', {img_dir!r},\n"
+                f"    '--output_dir', {ref_out!r},\n"
+                f"    '--device', 'cpu', '--img_size', '{img}']\n"
+                f"exec(open({os.path.join(REFERENCE_ROOT, 'eval/evaluate_image_vit.py')!r}).read())\n"
+            )
+        r_ref = subprocess.run([sys.executable, runner],
+                               capture_output=True, text=True, timeout=1200)
+        if r_ref.returncode != 0:
+            raise RuntimeError(
+                f"reference image eval CLI failed:\n{r_ref.stderr[-3000:]}")
+
+        from tests.env_utils import cpu_env
+
+        env = cpu_env(REPO)
+        env["JAX_DEFAULT_MATMUL_PRECISION"] = "highest"
+        r_our = subprocess.run(
+            [sys.executable, "-m", "fer_vit_tpu.eval.evaluate_image_vit",
+             "--checkpoint_path", ckpt, "--test_dir", img_dir,
+             "--output_dir", our_out],
+            env=env, capture_output=True, text=True, timeout=1200)
+        if r_our.returncode != 0:
+            raise RuntimeError(
+                f"our image eval CLI failed:\n{r_our.stderr[-3000:]}")
+
+        result = _compare_eval_outputs("evaluate_image_vit_cli", ref_out,
+                                       our_out, n)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
     return result
 
 

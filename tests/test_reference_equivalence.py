@@ -99,6 +99,19 @@ def test_eval_cli_output_contract_matches_reference():
 
 
 @needs_reference
+def test_image_eval_cli_output_contract_matches_reference():
+    """Same race for eval/evaluate_image_vit.py on a shared torch ImageViT
+    checkpoint + class-dir PNG tree (the reference side runs on a faithful
+    functional torchvision stub; PNGs are written at the eval size so
+    Resize is identity): identical schema, identical numbers."""
+    import verify_reference_equivalence as vre
+
+    res = vre.part_f2_eval_image_cli()
+    assert res["pass"], res
+    assert not res["missing_artifacts"]
+
+
+@needs_reference
 @pytest.mark.parametrize("trainer",
                          ["latent_vit", "latent_cnn", "latent_vit_v2"])
 def test_full_run_trajectory_band(trainer):

@@ -6,6 +6,7 @@ verified numerically without the real repos or checkpoints."""
 
 import math
 
+import numpy as np
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -311,6 +312,67 @@ def install_fake_torchvision():
                                "__call__": lambda self, *a, **k: None})
 
     tr.__getattr__ = _placeholder
+    tv.transforms = tr
+    _register("torchvision", tv)
+    _register("torchvision.transforms", tr)
+
+
+def install_fake_torchvision_functional():
+    """Register a torchvision stub whose val-transform pieces (Compose /
+    Resize / ToTensor / Normalize) are faithful FUNCTIONAL implementations,
+    enough for the reference's ImageFERDataset eval path to produce exact
+    tensors: Resize is identity at matching size (the equivalence race
+    writes PNGs at the target size) and PIL-bilinear otherwise; ToTensor
+    and Normalize mirror torchvision's arithmetic exactly."""
+    import types
+
+    import torch as _torch
+    from PIL import Image as _Image
+
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+
+    class Compose:
+        def __init__(self, ts):
+            self.ts = list(ts)
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class Resize:
+        def __init__(self, size, **kw):
+            self.size = ((size, size) if isinstance(size, int)
+                         else tuple(size))  # (H, W)
+
+        def __call__(self, img):
+            if img.size == (self.size[1], self.size[0]):  # PIL is (W, H)
+                return img
+            return img.resize((self.size[1], self.size[0]),
+                              _Image.BILINEAR)
+
+    class ToTensor:
+        def __call__(self, img):
+            arr = np.asarray(img, np.uint8)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return (_torch.from_numpy(arr.transpose(2, 0, 1).copy())
+                    .to(_torch.float32).div(255.0))
+
+    class Normalize:
+        def __init__(self, mean, std, **kw):
+            self.mean = _torch.tensor(mean,
+                                      dtype=_torch.float32).view(-1, 1, 1)
+            self.std = _torch.tensor(std,
+                                     dtype=_torch.float32).view(-1, 1, 1)
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    for n_, c in (("Compose", Compose), ("Resize", Resize),
+                  ("ToTensor", ToTensor), ("Normalize", Normalize)):
+        setattr(tr, n_, c)
     tv.transforms = tr
     _register("torchvision", tv)
     _register("torchvision.transforms", tr)
