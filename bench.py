@@ -128,30 +128,10 @@ def bench_latent_vit(batch: int = 4096, n_iters: int = 50) -> float:
     return batch / secs
 
 
-def _arm_init_watchdog(
-        seconds: int = int(os.environ.get("BENCH_INIT_TIMEOUT", "300")),
-) -> "threading.Timer":
-    """Backend init through the axon tunnel HANGS (not errors) when the
-    tunnel is down. A hung bench would stall the driver's round-end run
-    indefinitely — better to die loudly with a diagnosis. Disarmed as soon
-    as device init returns."""
-    import threading
-
-    def _abort():
-        print("bench watchdog: jax device init exceeded "
-              f"{seconds}s — TPU tunnel down/hung? (probe: "
-              "timeout 60 python -c 'import jax; print(jax.devices())')",
-              flush=True, file=sys.stderr)
-        os._exit(2)
-
-    t = threading.Timer(seconds, _abort)
-    t.daemon = True
-    t.start()
-    return t
-
-
 def main() -> None:
-    watchdog = _arm_init_watchdog()
+    from fer_vit_tpu.utils.watchdog import arm_device_init_watchdog
+
+    watchdog = arm_device_init_watchdog(env_var="BENCH_INIT_TIMEOUT")
     dev = jax.devices()[0]
     watchdog.cancel()
     print(f"bench device: {dev}", flush=True, file=sys.stderr)

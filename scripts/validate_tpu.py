@@ -187,6 +187,12 @@ def main() -> None:
 
     import jax
 
+    from fer_vit_tpu.utils.watchdog import arm_device_init_watchdog
+
+    wd = arm_device_init_watchdog()  # hung tunnel → die loudly, not hang
+    jax.devices()
+    wd.cancel()
+
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")] or list(STAGES)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
