@@ -37,6 +37,13 @@ IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 SHARD_SIZE = 4096
 
 
+def _class_of(path: str) -> str:
+    """Class-dir name of an image path — the reference prefixes per-image
+    latent files with it (`{cls}_{base}.pt`, reference :137), which also
+    prevents same-named files in different class dirs from colliding."""
+    return os.path.basename(os.path.dirname(path))
+
+
 def collect_images(data_root: str) -> List[Tuple[str, int]]:
     """Walk class subdirs → [(image_path, label)] (reference :114-151)."""
     items: List[Tuple[str, int]] = []
@@ -115,16 +122,22 @@ class ShardWriter:
         self._lab: List[int] = []
         self._paths: List[str] = []
 
-    def add(self, latents: np.ndarray, labels: np.ndarray, paths: List[str]):
+    def add(self, latents: np.ndarray, labels: np.ndarray,
+            paths: List[str]) -> List[str]:
+        """Buffer a batch; returns the paths made DURABLE by a shard
+        flush this call ([] if the buffer is still filling). The caller's
+        resume manifest must only record durable paths — marking buffered
+        samples processed would lose them permanently on a crash."""
         self._lat.append(latents)
         self._lab.extend(labels.tolist())
         self._paths.extend(paths)
         if len(self._paths) >= self.shard_size:
-            self.flush()
+            return self.flush()
+        return []
 
-    def flush(self):
+    def flush(self) -> List[str]:
         if not self._paths:
-            return
+            return []
         lat = np.concatenate(self._lat)[: len(self._paths)]
         path = os.path.join(self.out_dir,
                             f"latents_pack_{self.shard_index:04d}.npz")
@@ -133,7 +146,9 @@ class ShardWriter:
                  paths=np.asarray(self._paths))
         print(f"wrote {path} ({len(self._paths)} samples)")
         self.shard_index += 1
+        written = self._paths
         self._lat, self._lab, self._paths = [], [], []
+        return written
 
 
 def generate_latents(
@@ -143,6 +158,7 @@ def generate_latents(
     batch_size: int = 256,
     per_image_pt: bool = False,
     encoder=None,
+    shard_size: int = SHARD_SIZE,
 ) -> int:
     """Run the pipeline; returns number of newly encoded images."""
     import jax.numpy as jnp
@@ -179,30 +195,42 @@ def generate_latents(
                 "(pass a converted .npz or a pSp .pt)"
             )
 
-    writer = ShardWriter(latent_out, start_index=start_shard)
+    def write_manifest():
+        # atomic replace: a crash mid-write must not truncate the manifest
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"processed": sorted(done),
+                       "next_shard": writer.shard_index}, f)
+        os.replace(tmp, manifest_path)
+
+    writer = ShardWriter(latent_out, shard_size=shard_size,
+                         start_index=start_shard)
     n_done = 0
     for imgs, labels, paths, n in _decode_batches(items, batch_size, 256):
         w_plus = np.asarray(encoder.encode_batch(jnp.asarray(imgs)))[:n]
-        writer.add(w_plus, labels[:n], paths)
+        # only shard-flushed samples are durable; buffered ones must NOT
+        # enter the manifest — a crash would otherwise skip them forever
+        # on resume (any still-buffered samples just re-encode next run,
+        # and the per-image .pt writes below are idempotent)
+        flushed = writer.add(w_plus, labels[:n], paths)
         if per_image_pt:
             import torch
 
             for j, p in enumerate(paths):
-                out_name = os.path.splitext(os.path.basename(p))[0] + ".pt"
+                out_name = (_class_of(p) + "_"
+                            + os.path.splitext(os.path.basename(p))[0]
+                            + ".pt")
                 torch.save(
                     {"latent": torch.tensor(w_plus[j]),
                      "label": int(labels[j]), "img_path": p},
                     os.path.join(latent_out, out_name),
                 )
-        done.update(paths)
         n_done += n
-        with open(manifest_path, "w") as f:
-            json.dump({"processed": sorted(done),
-                       "next_shard": writer.shard_index}, f)
-    writer.flush()
-    with open(manifest_path, "w") as f:
-        json.dump({"processed": sorted(done),
-                   "next_shard": writer.shard_index}, f)
+        if flushed:
+            done.update(flushed)
+            write_manifest()
+    done.update(writer.flush())
+    write_manifest()
     print(f"encoded {n_done} images → {latent_out}")
     return n_done
 

@@ -122,6 +122,31 @@ def main(args) -> dict:
         "use_class_weights": args.use_class_weights,
         "use_layerwise_lr": args.use_layerwise_lr, "seed": args.seed,
     }
+    # pretrained trunk graft — same route as the hybrid trainer (the
+    # reference passes use_pretrained into from_config, which pulls timm;
+    # here converted .npz weights graft into the freshly-initialized ViT).
+    # NOTE: pos-emb interpolation targets model.vit.seq_len, which is
+    # DOUBLE the store's in concat output mode.
+    init_params_patch = None
+    if args.use_pretrained:
+        if args.pretrained_npz:
+            from fer_vit_tpu.encoders.convert_psp import (
+                _flatten,
+                load_npz_variables,
+            )
+            from fer_vit_tpu.models.hybrid_latent_vit import graft_pretrained
+
+            pretrained = _flatten(load_npz_variables(
+                args.pretrained_npz)["params"])
+            vit_seq_len = model.vit.seq_len
+
+            def init_params_patch(params):
+                return graft_pretrained(params, pretrained, vit_seq_len)
+        else:
+            print("WARNING: --use_pretrained without --pretrained_npz → "
+                  "random-initialized trunk (no timm/network here; convert "
+                  "weights with fer_vit_tpu.encoders.convert_timm)")
+
     config = {"model": model_cfg, "training": training_cfg,
               "data": {"train_dir": args.latent_train_dir,
                        "val_dir": args.latent_val_dir}}
@@ -130,6 +155,7 @@ def main(args) -> dict:
     return run_latent_training(
         args, model, cfg, exp_name, config, train_store, val_store,
         lr_mult=lr_mult, wd_mask=wd_mask,
+        init_params_patch=init_params_patch,
         # reference group order (train_expression_aware_vit.py:66-96
         # mirrors the hybrid trainer's): input_proj ×10, transformer ×1,
         # [adapters ×10], head ×10, pos/CLS ×5

@@ -61,8 +61,15 @@ def main(args) -> dict:
         scheduler="none", label_smoothing=0.0, mixup=0.0, seed=args.seed,
     )
 
-    def norm(xb):  # (x/255 − 0.5) / 0.5, reference transform
-        return (xb.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    def norm(xb):
+        # reference transform (vit-fer.py:19-24): Grayscale(3ch) THEN
+        # (x − 0.5)/0.5 — color inputs must collapse to replicated luma
+        # (ITU-R 601 weights, matching PIL/torchvision convert('L') up to
+        # their integer rounding), not pass through as RGB
+        x = xb.astype(jnp.float32) / 255.0
+        luma = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+        x = jnp.stack([luma, luma, luma], axis=-1)
+        return (x - 0.5) / 0.5
 
     harness = Harness(model=model, cfg=cfg,
                       augment_fn=lambda key, xb: norm(xb),
@@ -117,13 +124,16 @@ def main(args) -> dict:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        # size by the actual history, not args.epochs — a resume with
+        # --epochs at/below the checkpointed epoch has more entries
+        n_hist = len(train_losses)
         fig, ax1 = plt.subplots(figsize=(8, 5))
-        ax1.plot(range(1, args.epochs + 1), train_losses, "b-",
+        ax1.plot(range(1, n_hist + 1), train_losses, "b-",
                  label="Train Loss")
         ax1.set_xlabel("Epoch")
         ax1.set_ylabel("Train Loss", color="b")
         ax2 = ax1.twinx()
-        ax2.plot(range(1, args.epochs + 1), test_accuracies, "r-",
+        ax2.plot(range(1, n_hist + 1), test_accuracies, "r-",
                  label="Test Accuracy")
         ax2.set_ylabel("Test Accuracy", color="r")
         fig.tight_layout()
@@ -136,7 +146,7 @@ def main(args) -> dict:
     with open(csv_path, "w", newline="", encoding="utf-8") as f:
         writer = csv.writer(f)
         writer.writerow(["Epoch", "Train Loss", "Test Accuracy"])
-        for e in range(args.epochs):
+        for e in range(len(train_losses)):
             writer.writerow([e + 1, train_losses[e], test_accuracies[e]])
     print(f"metrics saved to {csv_path}")
     return {"train_losses": train_losses, "test_accuracies": test_accuracies}
