@@ -57,12 +57,13 @@ class DiskImageProvider(ImageProvider):
 
     def _remap(self, path: str) -> str:
         if self.img_root is None:
-            return path
-        # root remapping: keep the basename tree under the new root
-        # (reference :92-125 remaps stored absolute paths)
-        if os.path.exists(path):
-            return path
-        return os.path.join(self.img_root, os.path.basename(path))
+            return os.path.abspath(path)
+        # reference semantics (afs/image_provider.py:108-113): rebuild
+        # from the last TWO components — img_root/class_dir/filename —
+        # so class-directory datasets resolve (and same-named files in
+        # different classes cannot collide)
+        parts = os.path.normpath(path).split(os.sep)
+        return os.path.join(self.img_root, *parts[-2:])
 
     def get_images(self, w_batch, img_paths):
         from PIL import Image
@@ -72,11 +73,11 @@ class DiskImageProvider(ImageProvider):
                              "(latents must carry 'img_path')")
         imgs = np.zeros((len(img_paths), self.size, self.size, 3), np.float32)
         for i, p in enumerate(img_paths):
-            try:
-                with Image.open(self._remap(p)) as im:
-                    im = im.convert("RGB").resize((self.size, self.size),
-                                                  Image.BILINEAR)
-                    imgs[i] = np.asarray(im, np.float32)
-            except Exception:
-                pass  # black fallback
+            # the reference raises on an unreadable path (Image.open,
+            # :115-125) — a silent black frame would train L_id/L_lpips
+            # against garbage with no signal
+            with Image.open(self._remap(p)) as im:
+                im = im.convert("RGB").resize((self.size, self.size),
+                                              Image.BILINEAR)
+                imgs[i] = np.asarray(im, np.float32)
         return jnp.asarray((imgs / 255.0 - 0.5) / 0.5)

@@ -43,6 +43,8 @@ class PairLatentStore:
     def __len__(self) -> int:
         return len(self.store)
 
+    _device_latents: Optional[jax.Array] = None
+
     @classmethod
     def load(cls, latent_dir: str) -> "PairLatentStore":
         store = LatentStore.load(latent_dir)
@@ -50,27 +52,23 @@ class PairLatentStore:
             raise ValueError(
                 f"Need at least 2 latents for pairing, found {len(store)}"
             )
-        paths = None
-        # packs written by generate_latents carry 'paths'
-        pack_files = []
-        if os.path.isdir(latent_dir):
-            pack_files = sorted(
-                os.path.join(latent_dir, f) for f in os.listdir(latent_dir)
-                if f.endswith(".npz")
-            )
-        elif latent_dir.endswith(".npz"):
-            pack_files = [latent_dir]
-        collected: List[str] = []
-        for f in pack_files:
-            with np.load(f) as data:
-                if "paths" in data.files:
-                    collected.extend([str(p) for p in data["paths"]])
-        if len(collected) == len(store):
-            paths = collected
+        # LatentStore preserves source paths from BOTH formats (reference
+        # per-image .pt 'img_path' and generate_latents packs' 'paths')
+        paths = (list(store.img_paths)
+                 if store.img_paths is not None else None)
         return cls(store, paths)
+
+    @property
+    def device_latents(self) -> jax.Array:
+        """The latent matrix, uploaded to device ONCE (a per-step
+        jnp.asarray would re-transfer the whole ~GB-scale set every
+        step)."""
+        if self._device_latents is None:
+            self._device_latents = jnp.asarray(self.store.latents)
+        return self._device_latents
 
     def sample_batch(self, key: jax.Array, batch: int):
         """→ (w_src, w_tgt, src_idx, tgt_idx) device arrays."""
         src, tgt = sample_pair_indices(key, len(self), batch)
-        latents = jnp.asarray(self.store.latents)
+        latents = self.device_latents
         return latents[src], latents[tgt], src, tgt

@@ -110,7 +110,7 @@ def _load_afs_loss(arcface_path: Optional[str], lpips_path: Optional[str],
 
 
 def make_train_step(h: StyleExtractor, gen: Generator, gen_vars,
-                    criterion: AFSLoss, lr: float, use_provider_a: bool):
+                    criterion: AFSLoss, use_provider_a: bool):
     """One fused AFS step. With provider A everything is in-graph; with
     provider B the reference images come in as arguments."""
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1.0))
@@ -168,10 +168,16 @@ def run_epoch(jit_step, params, batch_stats, opt_state, lr, pair_store,
     steps = max(1, n // batch_size)
     totals = {"loss": 0.0, "id": 0.0, "lpips": 0.0, "cons": 0.0}
     dummy = jnp.zeros((batch_size, 256, 256, 3), jnp.float32)
+    if disk_provider is not None and pair_store.img_paths is None:
+        raise ValueError(
+            "provider B needs source image paths, but these latents carry "
+            "none — regenerate with fer_vit_tpu.data.generate_latents "
+            "(packs store 'paths'; reference .pt dirs store 'img_path') "
+            "or use --provider a")
+    latents = pair_store.device_latents  # ONE upload, not one per step
     for s in range(steps):
         k = jax.random.fold_in(key, s)
         src_idx, tgt_idx = sample_pair_indices(k, n, batch_size)
-        latents = jnp.asarray(pair_store.store.latents)
         w_src, w_tgt = latents[src_idx], latents[tgt_idx]
         if disk_provider is not None:
             paths = pair_store.img_paths
@@ -228,7 +234,7 @@ def main(args) -> dict:
     val_disk = None if use_a else DiskImageProvider(
         args.val_img_root or args.img_root)
     jit_step, jit_eval = make_train_step(h, gen, gen_vars, criterion,
-                                         args.lr, use_a)
+                                         use_provider_a=use_a)
 
     best_loss = float("inf")
     monitor_key = "val_loss" if val_store else "train_loss"

@@ -36,6 +36,10 @@ class LatentStore:
     latents: np.ndarray  # (N, L, D) float32
     labels: np.ndarray  # (N,) int32
     total: Optional[int] = None  # pre-subset sample count (None = unsubset)
+    # source image path per sample when the on-disk format carries it
+    # (reference .pt records' 'img_path'; generate_latents packs' 'paths')
+    # — the AFS DiskImageProvider (provider B) needs these
+    img_paths: Optional[np.ndarray] = None  # (N,) str
 
     def __len__(self) -> int:
         return self.latents.shape[0]
@@ -90,7 +94,10 @@ class LatentStore:
         store = cls._load_pt(pt_files)
         if pack_cache:
             try:
-                np.savez(pack, latents=store.latents, labels=store.labels)
+                extra = ({"paths": store.img_paths}
+                         if store.img_paths is not None else {})
+                np.savez(pack, latents=store.latents, labels=store.labels,
+                         **extra)
             except OSError:
                 pass  # read-only data dir: fine, just skip the cache
         print(f"Loaded {len(store)} latent samples from {path}")
@@ -98,12 +105,18 @@ class LatentStore:
 
     @classmethod
     def _load_npz(cls, files) -> "LatentStore":
-        lat, lab = [], []
+        lat, lab, paths = [], [], []
         for f in files:
             with np.load(f) as data:
                 lat.append(np.asarray(data["latents"], dtype=np.float32))
                 lab.append(np.asarray(data["labels"], dtype=np.int32))
-        store = cls(np.concatenate(lat), np.concatenate(lab))
+                if "paths" in data.files:
+                    paths.append(np.asarray(data["paths"], dtype=str))
+        latents = np.concatenate(lat)
+        img_paths = (np.concatenate(paths)
+                     if paths and sum(p.shape[0] for p in paths)
+                     == latents.shape[0] else None)
+        store = cls(latents, np.concatenate(lab), img_paths=img_paths)
         print(f"Loaded {len(store)} latent samples from {len(files)} pack(s)")
         return store
 
@@ -111,12 +124,16 @@ class LatentStore:
     def _load_pt(cls, files) -> "LatentStore":
         import torch  # host-side interop with the reference's format only
 
-        out_lat, out_lab = [], []
+        out_lat, out_lab, out_paths = [], [], []
         for f in files:
             data = torch.load(f, map_location="cpu", weights_only=True)
             out_lat.append(np.asarray(data["latent"], dtype=np.float32))
             out_lab.append(int(data["label"]))
-        return cls(np.stack(out_lat), np.asarray(out_lab, dtype=np.int32))
+            out_paths.append(str(data.get("img_path", "")))
+        img_paths = (np.asarray(out_paths, dtype=str)
+                     if all(out_paths) else None)
+        return cls(np.stack(out_lat), np.asarray(out_lab, dtype=np.int32),
+                   img_paths=img_paths)
 
     # -- subsetting / weighting --------------------------------------------
 
@@ -137,7 +154,10 @@ class LatentStore:
 
     def subset(self, indices: np.ndarray) -> "LatentStore":
         return LatentStore(self.latents[indices], self.labels[indices],
-                           total=self.total_samples)
+                           total=self.total_samples,
+                           img_paths=(self.img_paths[indices]
+                                      if self.img_paths is not None
+                                      else None))
 
     def class_weights(self, num_classes: int = 7) -> np.ndarray:
         """Inverse-frequency weights total/(C·count) (reference:

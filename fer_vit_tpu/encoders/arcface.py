@@ -41,16 +41,20 @@ def adaptive_avg_pool(x: jax.Array, out_size: int) -> jax.Array:
     b, h, w, c = x.shape
     if (h, w) == (out_size, out_size):
         return x
-    ah = jnp.asarray(_adaptive_avg_matrix(h, out_size), x.dtype)
-    aw = jnp.asarray(_adaptive_avg_matrix(w, out_size), x.dtype)
-    # HIGHEST: this CPU's oneDNN (and TPU default) run f32 matmuls in bf16,
-    # which breaks the exact-window-average semantics by ~1e-2.
+    in_dtype = x.dtype
+    # HIGHEST + f32 averaging matrices AND f32 between the two passes:
+    # this CPU's oneDNN (and TPU default) run f32 matmuls in bf16, and a
+    # bf16 round-trip between the height and width contractions would
+    # reintroduce the ~1e-2 error the exact-window-average comment below
+    # promises to avoid. Cast back to the input dtype once, at the end.
+    ah = jnp.asarray(_adaptive_avg_matrix(h, out_size), jnp.float32)
+    aw = jnp.asarray(_adaptive_avg_matrix(w, out_size), jnp.float32)
     hp = jax.lax.Precision.HIGHEST
-    x = jnp.einsum("oh,bhwc->bowc", ah, x,
+    x = jnp.einsum("oh,bhwc->bowc", ah, x.astype(jnp.float32),
                    preferred_element_type=jnp.float32, precision=hp)
-    x = jnp.einsum("ow,bhwc->bhoc", aw, x.astype(ah.dtype),
+    x = jnp.einsum("ow,bhwc->bhoc", aw, x,
                    preferred_element_type=jnp.float32, precision=hp)
-    return x.astype(ah.dtype)
+    return x.astype(in_dtype)
 
 
 class ArcFaceBackbone(nn.Module):

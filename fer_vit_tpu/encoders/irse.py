@@ -523,6 +523,7 @@ class IRSEBackbone(nn.Module):
 
         feats = {}
         unit_idx = 0
+        last_unit = sum(n for _, _, n in self.plan) - 1
         for in_c, out_c, n_units in self.plan:
             for u in range(n_units):
                 stride = 2 if u == 0 else 1
@@ -537,8 +538,10 @@ class IRSEBackbone(nn.Module):
                                    dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name=f"body_{unit_idx}")(x)
-                if aq and x.shape[1] >= aq and unit_idx not in self.taps:
-                    # taps feed the style heads — keep them exact
+                if (aq and x.shape[1] >= aq and unit_idx not in self.taps
+                        and unit_idx != last_unit):
+                    # taps AND the final trunk output (returned as c3)
+                    # feed the style heads — keep them exact
                     x = ActQuant(dtype=self.dtype,
                                  calibrate=self.act_quant_calibrate,
                                  name=f"aq_out_{unit_idx}")(x)

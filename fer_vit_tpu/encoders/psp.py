@@ -250,8 +250,14 @@ def preprocess_images(images: jax.Array, size: int = 256) -> jax.Array:
     """uint8/float [0,255] or [0,1] (B,H,W,3) → resized, (x−0.5)/0.5
     normalized f32 — the reference transform (encoder_wrapper.py:136-145)
     as a jittable device-side op."""
-    x = images.astype(jnp.float32)
-    x = jnp.where(jnp.max(jnp.abs(x)) > 2.0, x / 255.0, x)  # tolerate 0-255
+    # integer inputs are ALWAYS 0-255 (a batch-max heuristic misclassifies
+    # uniformly dark uint8 frames); the value heuristic only disambiguates
+    # float inputs, whose scale is not knowable from dtype
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        x = images.astype(jnp.float32) / 255.0
+    else:
+        x = images.astype(jnp.float32)
+        x = jnp.where(jnp.max(jnp.abs(x)) > 2.0, x / 255.0, x)
     if x.shape[1] != size or x.shape[2] != size:
         x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]),
                              method=jax.image.ResizeMethod.LINEAR)

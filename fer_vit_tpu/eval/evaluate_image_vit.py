@@ -100,9 +100,10 @@ def load_model(checkpoint_path: str):
     template = TrainState(params=tv["params"],
                           batch_stats=tv.get("batch_stats", {}),
                           opt_state=make_optimizer(cfg).init(tv["params"]))
-    restored = ExperimentLogger.load_checkpoint(checkpoint_path,
-                                                state_template=template)
-    state = restored["state"]
+    # restore from the bytes already read above — no second file read
+    from flax import serialization
+
+    state = serialization.from_bytes(template, raw["state_bytes"])
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats

@@ -192,16 +192,17 @@ def load_model(checkpoint_path: str, with_meta: bool = False):
         batch_stats=template_vars.get("batch_stats", {}),
         opt_state=make_optimizer(cfg).init(template_vars["params"]),
     )
-    restored = ExperimentLogger.load_checkpoint(checkpoint_path,
-                                                state_template=template)
-    state = restored["state"]
+    # restore from the bytes already read above — no second file read
+    from flax import serialization
+
+    state = serialization.from_bytes(template, raw["state_bytes"])
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
-    print(f"Loaded checkpoint (epoch {restored['epoch']}) from "
+    print(f"Loaded checkpoint (epoch {raw['epoch']}) from "
           f"{checkpoint_path}")
     if with_meta:
-        meta = {k: restored[k] for k in ("epoch", "metrics", "run_id")}
+        meta = {k: raw[k] for k in ("epoch", "metrics", "run_id")}
         return model, variables, config, meta
     return model, variables, config
 
@@ -310,18 +311,28 @@ def visualize_attention(model, variables, sample_latents: np.ndarray,
         variables, x,
         capture_intermediates=lambda mdl, name: name == "__call__",
     )
-    # collect transformer layer outputs: (layers, B, L+1, D)
+    # collect transformer layer outputs: (layers, B, L+1, D).
+    # Match only DIRECT layer captures (.../layers_3/__call__ — LatentViT
+    # naming — or .../blocks_3/__call__ — hybrid/timm naming), not nested
+    # submodule calls, and sort NUMERICALLY (lexicographic order puts
+    # layers_10 before layers_2 at depth ≥ 10).
+    import re
+
     inters = inter["intermediates"]
     layer_outs = []
     def walk(node, path=""):
         if isinstance(node, dict):
             for k, v in node.items():
                 walk(v, f"{path}/{k}")
-        elif "layers_" in path and path.endswith("__call__"):
-            layer_outs.append((path, node[0]))
+            return
+        parts = path.strip("/").split("/")
+        if (len(parts) >= 2 and parts[-1] == "__call__"
+                and re.fullmatch(r"(layers|blocks)_\d+", parts[-2])):
+            layer_outs.append((int(parts[-2].rsplit("_", 1)[1]), node[0]))
     walk(inters)
     layer_outs.sort(key=lambda kv: kv[0])
     if not layer_outs:
+        print("attention viz skipped: no transformer layer captures found")
         return
     for s in range(min(n_samples, x.shape[0])):
         sims = []

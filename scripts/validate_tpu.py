@@ -157,7 +157,7 @@ def stage_afs() -> None:
     criterion = AFSLoss(lambda_cons=0.1, arcface_plan=plan)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1.0))
     opt_state = tx.init(params)
-    jit_step, _ = make_train_step(h, gen, gen_vars, criterion, 1e-3,
+    jit_step, _ = make_train_step(h, gen, gen_vars, criterion,
                                   use_provider_a=True)
     rng = np.random.default_rng(2)
     w_src = jnp.asarray(rng.normal(size=(4, n_latent, 512)), jnp.float32)

@@ -842,7 +842,7 @@ def part_c_style_extractor(epochs: int = 1) -> dict:
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1.0))
         opt_state = tx.init(params)
         jit_step, jit_eval = make_train_step(h, gen, gen_vars, criterion,
-                                             lr, use_provider_a=True)
+                                             use_provider_a=True)
 
         dummy = jnp.zeros((bs, 256, 256, 3), jnp.float32)
         our_steps, our_epochs = [], []

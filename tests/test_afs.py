@@ -1,6 +1,8 @@
 """AFS-stack tests: style extractor, pair sampling, adaptive pooling parity,
 loss semantics."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -109,3 +111,51 @@ class TestAFSLoss:
         g_new, g_tgt = jax.grad(f, argnums=(0, 1))(w_new, w_tgt)
         assert float(jnp.abs(g_new).sum()) > 0
         assert float(jnp.abs(g_tgt).sum()) == 0.0
+
+
+class TestDiskImageProvider:
+    def test_remap_keeps_class_dir(self, tmp_path):
+        """--img_root remapping rebuilds from the last TWO components
+        (img_root/class/filename — reference afs/image_provider.py:108-113);
+        keeping only the basename would drop the class dir and collide
+        same-named files across classes."""
+        from fer_vit_tpu.afs.image_provider import DiskImageProvider
+
+        p = DiskImageProvider(img_root="/new/root")
+        assert p._remap("/old/ds/train/angry/001.jpg") \
+            == os.path.join("/new/root", "angry", "001.jpg")
+        # no img_root → stored path resolved as-is (absolute)
+        p2 = DiskImageProvider()
+        assert os.path.isabs(p2._remap("rel/angry/001.jpg"))
+
+    def test_unreadable_image_raises(self, tmp_path):
+        """The reference raises on a bad path (Image.open) — a silent
+        black frame would train the AFS losses against garbage."""
+        from fer_vit_tpu.afs.image_provider import DiskImageProvider
+
+        p = DiskImageProvider()
+        with pytest.raises(Exception):
+            p.get_images(None, [str(tmp_path / "missing" / "x.jpg")])
+
+
+class TestPairStorePaths:
+    def test_pt_dir_img_paths_reach_pair_store(self, tmp_path):
+        """Reference .pt latent dirs carry img_path per record — provider B
+        needs them, so PairLatentStore must surface them (they also survive
+        the auto-written pack cache)."""
+        import torch
+
+        from fer_vit_tpu.afs.pair_sampling import PairLatentStore
+
+        d = tmp_path / "latents"
+        d.mkdir()
+        for i in range(4):
+            torch.save({"latent": torch.randn(18, 512), "label": i % 7,
+                        "img_path": f"/ds/train/angry/{i}.jpg"},
+                       str(d / f"s{i}.pt"))
+        ps = PairLatentStore.load(str(d))
+        assert ps.img_paths == [f"/ds/train/angry/{i}.jpg" for i in range(4)]
+        # second load goes through the pack cache written by the first —
+        # paths must survive it
+        ps2 = PairLatentStore.load(str(d))
+        assert ps2.img_paths == ps.img_paths

@@ -59,3 +59,22 @@ class TestConverterFullPlan:
         got = jax.tree_util.tree_map(lambda x: x.shape, variables["params"])
         want = jax.tree_util.tree_map(lambda x: x.shape, init_vars["params"])
         assert got == want
+
+
+def test_preprocess_uint8_dark_batch_scales_correctly():
+    """Integer inputs are always 0-255: a uniformly dark uint8 batch
+    (max <= 2) must still be divided by 255 — the old batch-max heuristic
+    skipped the division and produced wildly out-of-range inputs."""
+    import numpy as np
+
+    from fer_vit_tpu.encoders.psp import preprocess_images
+
+    dark = jnp.asarray(np.full((2, 8, 8, 3), 2, np.uint8))
+    out = preprocess_images(dark, size=8)
+    expected = (2.0 / 255.0 - 0.5) / 0.5
+    assert float(jnp.max(jnp.abs(out - expected))) < 1e-6
+
+    # float inputs keep the value heuristic (0-1 passes through)
+    f01 = jnp.asarray(np.full((1, 8, 8, 3), 0.5, np.float32))
+    out01 = preprocess_images(f01, size=8)
+    assert float(jnp.max(jnp.abs(out01))) < 1e-6
