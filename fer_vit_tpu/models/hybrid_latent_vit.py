@@ -32,7 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from fer_vit_tpu.nn.initializers import trunc_normal_init
+from fer_vit_tpu.nn.initializers import (
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+    trunc_normal_init,
+)
 from fer_vit_tpu.ops.attention import dot_product_attention
 
 ModelSize = Literal["tiny", "small", "base"]
@@ -112,10 +116,19 @@ class AdapterModule(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Dense(self.adapter_dim, dtype=self.dtype,
+        # reference adapters are bare nn.Linear modules — torch defaults
+        # (kaiming-uniform kernel, uniform bias), NOT flax/timm init; they
+        # are the only trained params in the 'adapter' strategy
+        h = nn.Dense(self.adapter_dim,
+                     kernel_init=torch_linear_kernel_init,
+                     bias_init=torch_linear_bias_init(self.embed_dim),
+                     dtype=self.dtype,
                      param_dtype=self.param_dtype, name="down")(x)
         h = nn.gelu(h, approximate=False)  # timm uses exact GELU
-        h = nn.Dense(self.embed_dim, dtype=self.dtype,
+        h = nn.Dense(self.embed_dim,
+                     kernel_init=torch_linear_kernel_init,
+                     bias_init=torch_linear_bias_init(self.adapter_dim),
+                     dtype=self.dtype,
                      param_dtype=self.param_dtype, name="up")(h)
         alpha = self.param(
             "alpha", lambda k, s, d: jnp.full(s, 0.1, d), (1,), self.param_dtype
@@ -143,8 +156,12 @@ class HybridLatentViT(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         x = x.astype(self.dtype)
+        # reference input_proj / head are bare nn.Linear (torch defaults),
+        # hybrid_latent_vit.py:82,110-114 — only the timm trunk uses
+        # trunc-normal init
         x = nn.Dense(
-            self.embed_dim, kernel_init=trunc_normal_init(0.02),
+            self.embed_dim, kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(self.latent_dim),
             dtype=self.dtype, param_dtype=self.param_dtype, name="input_proj",
         )(x)
         b = x.shape[0]
@@ -178,7 +195,8 @@ class HybridLatentViT(nn.Module):
         )(cls_out)
         cls_out = nn.Dropout(self.head_dropout, deterministic=deterministic)(cls_out)
         logits = nn.Dense(
-            self.num_classes, kernel_init=trunc_normal_init(0.02),
+            self.num_classes, kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(self.embed_dim),
             dtype=self.dtype, param_dtype=self.param_dtype, name="head",
         )(cls_out)
         return logits.astype(jnp.float32)

@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fer_vit_tpu.nn.initializers import trunc_normal_init
+from fer_vit_tpu.nn.initializers import (
+    torch_conv_kernel_init,
+    torch_linear_bias_init,
+    trunc_normal_init,
+)
 from fer_vit_tpu.nn.transformer import TransformerEncoder
 
 
@@ -35,13 +39,16 @@ class PatchEmbedding(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.patch_size
+        # the reference's _init_weights only re-draws nn.Linear modules —
+        # the patch Conv2d keeps torch conv defaults (kaiming-uniform
+        # kernel, uniform bias), image_vit.py:122-136
         x = nn.Conv(
             self.embed_dim,
             kernel_size=(p, p),
             strides=(p, p),
             padding="VALID",
-            kernel_init=trunc_normal_init(0.02),
-            bias_init=nn.initializers.zeros_init(),
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_linear_bias_init(3 * p * p),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="proj",
@@ -51,6 +58,10 @@ class PatchEmbedding(nn.Module):
 
 
 class ImageViT(nn.Module):
+    # torch deep-copies the encoder layer, then _init_weights re-draws every
+    # nn.Linear independently — only the MHA in_proj (a bare Parameter)
+    # stays identical across layers at init
+    torch_clone_init = "in_proj"
     img_size: int = 224
     patch_size: int = 16
     in_channels: int = 3
@@ -104,6 +115,9 @@ class ImageViT(nn.Module):
             dropout=self.dropout,
             activation="gelu",
             norm_first=False,
+            # reference _init_weights: every nn.Linear (incl. the MHA
+            # out_proj) trunc_normal(0.02) + zero bias
+            vit_linear_init=True,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="transformer",

@@ -22,6 +22,10 @@ from fer_vit_tpu.nn.transformer import TransformerEncoder
 
 
 class LatentViT(nn.Module):
+    # torch nn.TransformerEncoder deep-copies one layer: all layers start
+    # IDENTICAL (reference latent_vit.py:24-37) — harness init reproduces
+    # this via nn.transformer.clone_torch_encoder_init
+    torch_clone_init = "full"
     latent_dim: int = 512
     seq_len: int = 18
     embed_dim: int = 512

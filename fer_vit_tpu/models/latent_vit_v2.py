@@ -18,6 +18,8 @@ from fer_vit_tpu.nn.preprocessing import LEAM, LayerWiseNorm, SemanticPE
 
 
 class LatentViTv2(nn.Module):
+    # the LatentViT backbone inherits torch's deep-copied-layers init quirk
+    torch_clone_init = "full"
     latent_dim: int = 512
     seq_len: int = 18
     embed_dim: int = 512

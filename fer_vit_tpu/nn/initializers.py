@@ -41,8 +41,12 @@ torch_conv_kernel_init = torch_linear_kernel_init
 
 
 def trunc_normal_init(std: float = 0.02):
-    """Truncated normal(std) on (−2σ, 2σ), as timm/reference ViT init."""
-    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+    """torch/timm ``trunc_normal_(std=std, a=-2.0, b=2.0)``: the bounds are
+    ABSOLUTE values (±2), i.e. ±100σ at std=0.02 — effectively untruncated,
+    std == ``std`` exactly. (flax's lower/upper are in σ units: passing ±2
+    there truncates at ±2σ and shrinks the realized std by ~12%.)"""
+    return nn.initializers.truncated_normal(
+        stddev=std, lower=-2.0 / std, upper=2.0 / std)
 
 
 def kaiming_normal_fan_out_init(nonlinearity: str = "relu"):

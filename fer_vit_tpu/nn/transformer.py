@@ -51,6 +51,10 @@ class MultiHeadSelfAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    # the reference ImageViT's _init_weights re-draws the MHA out_proj (an
+    # nn.Linear) trunc_normal(0.02); in_proj_weight is a bare Parameter and
+    # keeps torch MHA's xavier init either way
+    vit_linear_init: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -66,8 +70,14 @@ class MultiHeadSelfAttention(nn.Module):
         in_bias = self.param(
             "in_proj_bias", nn.initializers.zeros_init(), (3 * d,), self.param_dtype
         )
+        if self.vit_linear_init:
+            from fer_vit_tpu.nn.initializers import trunc_normal_init
+
+            out_kernel_init = trunc_normal_init(0.02)
+        else:
+            out_kernel_init = torch_linear_kernel_init
         out_kernel = self.param(
-            "out_proj_kernel", torch_linear_kernel_init, (d, d), self.param_dtype
+            "out_proj_kernel", out_kernel_init, (d, d), self.param_dtype
         )
         out_bias = self.param(
             "out_proj_bias", nn.initializers.zeros_init(), (d,), self.param_dtype
@@ -112,16 +122,25 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     norm_first: bool = False
+    # True → the reference ImageViT's _init_weights pass (image_vit.py:
+    # 122-136): every nn.Linear (linear1/2 AND the MHA out_proj) re-drawn
+    # trunc_normal(0.02) with zero bias. False → torch
+    # TransformerEncoderLayer defaults (LatentViT never re-inits).
+    vit_linear_init: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        # NOTE: deterministic is deliberately positional-capable — the
+        # remat path marks it static (static_argnums), which jax cannot
+        # do for keyword arguments.
         act = _activation(self.activation)
         attn = MultiHeadSelfAttention(
             self.embed_dim,
             self.num_heads,
             dropout=self.dropout,
+            vit_linear_init=self.vit_linear_init,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="self_attn",
@@ -132,18 +151,27 @@ class TransformerEncoderLayer(nn.Module):
                              param_dtype=self.param_dtype, name="norm1")
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              param_dtype=self.param_dtype, name="norm2")
+        if self.vit_linear_init:
+            from fer_vit_tpu.nn.initializers import trunc_normal_init
+
+            k1 = k2 = trunc_normal_init(0.02)
+            b1 = b2 = nn.initializers.zeros_init()
+        else:
+            k1 = k2 = torch_linear_kernel_init
+            b1 = torch_linear_bias_init(self.embed_dim)
+            b2 = torch_linear_bias_init(self.mlp_dim)
         linear1 = nn.Dense(
             self.mlp_dim,
-            kernel_init=torch_linear_kernel_init,
-            bias_init=torch_linear_bias_init(self.embed_dim),
+            kernel_init=k1,
+            bias_init=b1,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="linear1",
         )
         linear2 = nn.Dense(
             self.embed_dim,
-            kernel_init=torch_linear_kernel_init,
-            bias_init=torch_linear_bias_init(self.mlp_dim),
+            kernel_init=k2,
+            bias_init=b2,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="linear2",
@@ -172,6 +200,7 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     norm_first: bool = False
+    vit_linear_init: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -180,7 +209,10 @@ class TransformerEncoder(nn.Module):
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         layer_cls = TransformerEncoderLayer
         if self.remat:
-            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=())
+            # deterministic reaches the layer positionally: it drives
+            # Python control flow (dropout branches), so jax.checkpoint
+            # must treat it as static — (self, x, deterministic) → 2
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(2,))
         for i in range(self.depth):
             x = layer_cls(
                 self.embed_dim,
@@ -189,8 +221,52 @@ class TransformerEncoder(nn.Module):
                 dropout=self.dropout,
                 activation=self.activation,
                 norm_first=self.norm_first,
+                vit_linear_init=self.vit_linear_init,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layers_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         return x
+
+
+def clone_torch_encoder_init(params, mode: str = "full"):
+    """Reproduce torch ``nn.TransformerEncoder``'s deep-copy init quirk on
+    a freshly-initialized params tree: torch clones ONE encoder layer, so
+    all layers start IDENTICAL (reference latent_vit.py:24-37). The
+    reference ImageViT then re-draws every nn.Linear independently
+    (_init_weights), leaving only the MHA in_proj — a bare Parameter —
+    identical across layers (mode="in_proj").
+
+    Walks the tree, finds any node holding ``layers_{i}`` siblings, and
+    copies the relevant leaves of ``layers_0`` into the others. Forward /
+    converted-weight parity is unaffected; this matches the NATIVE-init
+    joint distribution the ±0.5% val-acc target is raced on.
+    """
+    import re
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v) for k, v in node.items()}
+        names = sorted(k for k in out if re.fullmatch(r"layers_\d+", k))
+        if "layers_0" in out and len(names) > 1:
+            src = out["layers_0"]
+            for k in names:
+                if k == "layers_0":
+                    continue
+                # REAL copies, not aliases: the train step donates param
+                # buffers, and two leaves sharing one buffer trip XLA's
+                # "donate the same buffer twice" check
+                if mode == "full":
+                    out[k] = jax.tree_util.tree_map(
+                        lambda v: jnp.array(v, copy=True), src)
+                else:  # "in_proj"
+                    layer = dict(out[k])
+                    sa = dict(layer["self_attn"])
+                    sa["in_proj_kernel"] = jnp.array(
+                        src["self_attn"]["in_proj_kernel"], copy=True)
+                    layer["self_attn"] = sa
+                    out[k] = layer
+        return out
+
+    return walk(params)

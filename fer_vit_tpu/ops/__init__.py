@@ -6,7 +6,7 @@ any backend — that is what the CPU-mesh tests exercise) and, where it pays
 off, a Pallas TPU kernel selected automatically on TPU backends.
 """
 
-from fer_vit_tpu.ops.attention import dot_product_attention, multi_head_attention
+from fer_vit_tpu.ops.attention import dot_product_attention
 from fer_vit_tpu.ops.fused_irse_unit import (
     fused_irse_residual,
     fused_irse_residual_reference,
@@ -14,7 +14,6 @@ from fer_vit_tpu.ops.fused_irse_unit import (
 
 __all__ = [
     "dot_product_attention",
-    "multi_head_attention",
     "fused_irse_residual",
     "fused_irse_residual_reference",
 ]

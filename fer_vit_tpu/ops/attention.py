@@ -56,40 +56,3 @@ def dot_product_attention(
     )
     return out.astype(dtype)
 
-
-def multi_head_attention(
-    x: jax.Array,
-    in_proj_kernel: jax.Array,
-    in_proj_bias: jax.Array,
-    out_proj_kernel: jax.Array,
-    out_proj_bias: jax.Array,
-    num_heads: int,
-    *,
-    dropout_rate: float = 0.0,
-    dropout_rng: Optional[jax.Array] = None,
-    deterministic: bool = True,
-) -> jax.Array:
-    """Self-attention with a packed qkv projection.
-
-    ``in_proj_kernel`` is (D, 3D) — one fused matmul produces q,k,v (a single
-    large MXU op instead of three small ones; also matches the packed
-    ``in_proj_weight`` layout of the reference for weight conversion).
-    """
-    b, l, d = x.shape
-    head_dim = d // num_heads
-    qkv = jnp.einsum("bld,de->ble", x, in_proj_kernel) + in_proj_bias
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def split_heads(t):
-        return t.reshape(b, l, num_heads, head_dim).transpose(0, 2, 1, 3)
-
-    out = dot_product_attention(
-        split_heads(q),
-        split_heads(k),
-        split_heads(v),
-        dropout_rate=dropout_rate,
-        dropout_rng=dropout_rng,
-        deterministic=deterministic,
-    )
-    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-    return jnp.einsum("bld,de->ble", out, out_proj_kernel) + out_proj_bias

@@ -43,7 +43,12 @@ def _spec_for_path(path: tuple, leaf) -> P:
             return P(MODEL_AXIS, None)
     if ndim == 1:
         parent = names[-2] if len(names) >= 2 else ""
-        if parent in _COL_KERNELS or (names and names[-1] in _COL_KERNELS):
+        leaf_name = names[-1] if names else ""
+        # packed-attention biases are flat siblings (in_proj_bias next to
+        # in_proj_kernel), not 'bias' leaves under a named Dense — map the
+        # _bias suffix back to its kernel to keep column biases P(model)
+        if (parent in _COL_KERNELS or leaf_name in _COL_KERNELS
+                or leaf_name.replace("_bias", "_kernel") in _COL_KERNELS):
             return P(MODEL_AXIS)
     del joined
     return P()

@@ -130,6 +130,15 @@ class Harness:
     def init_state(self, rng: jax.Array, sample_input: jax.Array) -> TrainState:
         variables = self.model.init(rng, sample_input)
         params = variables["params"]
+        # torch nn.TransformerEncoder deep-copies one layer, so the
+        # reference's layers start identical at init; models that inherit
+        # that quirk declare torch_clone_init ("full" / "in_proj") and the
+        # fresh init is patched to match the reference's joint distribution
+        clone_mode = getattr(self.model, "torch_clone_init", None)
+        if clone_mode:
+            from fer_vit_tpu.nn.transformer import clone_torch_encoder_init
+
+            params = clone_torch_encoder_init(params, clone_mode)
         self.has_batch_stats = "batch_stats" in variables
         # Models with MaskedBatchNorm accept mask= so the padded final
         # batch's zero rows are excluded from batch statistics (the
