@@ -138,6 +138,8 @@ def main() -> None:
     try:
         value = bench_end_to_end()
         metric = "psp_to_latent_vit_images_per_sec_per_chip"
+        unit = "images/sec/chip"
+        vs_baseline = round(value / BASELINE_TARGET_IPS, 3)
     except Exception as e:  # encoder path must never hide real failures
         import traceback
 
@@ -147,11 +149,16 @@ def main() -> None:
               "falling back to classifier-only", flush=True, file=sys.stderr)
         value = bench_latent_vit()
         metric = "latent_vit_d2_classifications_per_sec_per_chip"
+        # NOT the headline metric: label the unit honestly and report
+        # vs_baseline 0.0 — a classifications/sec number compared against
+        # the 5000 img/s pipeline target would read as a pass
+        unit = "classifications/sec/chip"
+        vs_baseline = 0.0
     print(json.dumps({
         "metric": metric,
         "value": round(value, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(value / BASELINE_TARGET_IPS, 3),
+        "unit": unit,
+        "vs_baseline": vs_baseline,
     }))
 
 

@@ -68,10 +68,19 @@ def main(args) -> None:
     print("=" * 60)
     print("Loading models...")
 
-    if args.encoder_path and os.path.exists(args.encoder_path):
+    if args.encoder_type != "psp":
+        raise NotImplementedError(
+            "e4e is stubbed in the reference too (encoder_wrapper.py:97-133)")
+    if args.encoder_path:
+        if not os.path.exists(args.encoder_path):
+            # a silent random-init fallback would measure an unfused
+            # random encoder and label it as the checkpointed one
+            raise FileNotFoundError(
+                f"--encoder_path {args.encoder_path!r} not found")
         wrapper = EncoderWrapper.from_npz(args.encoder_path, dtype=dtype)
         enc, enc_vars = wrapper.encoder, wrapper.variables
     else:
+        print("no --encoder_path: timing a RANDOM-init unfused PSpEncoder")
         enc = PSpEncoder(dtype=dtype)
         enc_vars = enc.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
 

@@ -88,12 +88,15 @@ def main():
 
     step, sargs = build_step()
     out = step(*sargs, jnp.float32(0.0))  # compile + warm
-    out.block_until_ready()
+    float(out)  # force full sync (block_until_ready lies through the tunnel)
 
     with jax.profiler.trace(args.dir):
         for _ in range(args.iters):
             out = step(*sargs, out)
-        out.block_until_ready()
+        # fetch a scalar INSIDE the trace context: block_until_ready does
+        # not reliably block through the axon tunnel (CLAUDE.md), and an
+        # early trace __exit__ truncates the device plane
+        float(out)
     print("trace captured; parsing ...")
     parse_xplane(args.dir, args.top)
 

@@ -189,14 +189,24 @@ def main() -> None:
 
     from fer_vit_tpu.utils.watchdog import arm_device_init_watchdog
 
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")] or list(STAGES)
+    unknown = [w for w in wanted if w not in STAGES]
+    if unknown:
+        # a typo'd stage must not merge an ok:false row into (and flip)
+        # a previously green record — checked BEFORE device init
+        raise SystemExit(f"unknown stage(s) {unknown}; "
+                         f"choose from {list(STAGES)}")
+
     wd = arm_device_init_watchdog()  # hung tunnel → die loudly, not hang
     jax.devices()
     wd.cancel()
 
-    wanted = [a for a in sys.argv[1:] if not a.startswith("--")] or list(STAGES)
-
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rnd = os.environ.get("FERVIT_ROUND")
+    if rnd is not None and not rnd.isdigit():
+        print(f"FERVIT_ROUND={rnd!r} is not an integer; "
+              "writing VALIDATE.json", file=sys.stderr)
+        rnd = None
     out_path = os.path.join(
         repo, f"VALIDATE_r{int(rnd):02d}.json" if rnd else "VALIDATE.json")
 
