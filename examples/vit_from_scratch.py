@@ -20,7 +20,7 @@ import numpy as np
 def init_vit(key, img_size=28, patch=7, dim=64, depth=2, heads=4,
              mlp_dim=128, channels=1, num_classes=10):
     n_patches = (img_size // patch) ** 2
-    keys = iter(jax.random.split(key, 4 + depth * 6))
+    keys = iter(jax.random.split(key, 4 + depth * 4))  # 4 linears per block
 
     def dense(k, din, dout):
         return {"w": jax.random.normal(k, (din, dout)) * (din ** -0.5),

@@ -34,12 +34,33 @@ def synthetic_digits(n=256, size=32):
     return x.astype(np.uint8), y
 
 
+def load_digit_dir(root, img_size):
+    """MNIST-png layout: root/0..9/*.png. (ImageStore only scans the seven
+    FER emotion class dirs, so digits need this local loader.)"""
+    import os
+
+    from PIL import Image
+
+    xs, ys = [], []
+    for digit in range(10):
+        cls = os.path.join(root, str(digit))
+        if not os.path.isdir(cls):
+            continue
+        for f in sorted(os.listdir(cls)):
+            if f.lower().endswith((".png", ".jpg", ".jpeg")):
+                with Image.open(os.path.join(cls, f)) as im:
+                    xs.append(np.asarray(
+                        im.convert("RGB").resize((img_size, img_size),
+                                                 Image.BILINEAR), np.uint8))
+                ys.append(digit)
+    if not xs:
+        raise ValueError(f"no digit-class (0..9) images under {root}")
+    return np.stack(xs), np.asarray(ys, np.int32)
+
+
 def main(args):
     if args.mnist_dir:
-        from fer_vit_tpu.data.image_pipeline import ImageStore
-
-        store = ImageStore.load(args.mnist_dir, img_size=args.img_size)
-        x, y = store.images, store.labels
+        x, y = load_digit_dir(args.mnist_dir, args.img_size)
     else:
         print("no --mnist_dir given: using synthetic digits")
         x, y = synthetic_digits(size=args.img_size)

@@ -160,12 +160,19 @@ def decode_batch(paths: List[str], size: int,
         out[native_idx] = tmp
     else:
         failures = 0
+    if failures:
+        # the native ABI reports a failure COUNT, not which files — and
+        # some failures are content PIL handles fine (CMYK JPEGs, WebP
+        # bytes behind a .jpg extension). Re-decode the whole native
+        # subset with PIL (rare path, ≤1 batch of files) so only files
+        # BOTH decoders reject stay black, like the pure-PIL route.
+        failures = _pil_decode_into(out, paths, native_idx, size)
     other_idx = sorted(set(range(n)) - set(native_idx))
     pil_failures = 0
     if other_idx:
         pil_failures = _pil_decode_into(out, paths, other_idx, size)
     if failures or pil_failures:
-        print(f"decode: {failures}/{len(native_idx)} native + "
+        print(f"decode: {failures}/{len(native_idx)} native(+PIL-retry) + "
               f"{pil_failures}/{len(other_idx)} PIL files failed "
               "(black-image fallback)", file=sys.stderr)
     return out

@@ -56,9 +56,7 @@ def add_misc_args(parser: argparse.ArgumentParser):
 
 def policy_from_args(args):
     if getattr(args, "debug_nans", False):
-        import jax as _jax
-
-        _jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_debug_nans", True)
     return default_policy(bf16=False if args.no_bf16 else None)
 
 

@@ -51,7 +51,6 @@ def fit(
     logger: ExperimentLogger,
     best_metric: str = "f1_macro",
     hist_every: int = 10,
-    save_last_every_epoch: bool = False,
     verbose: bool = True,
     start_epoch: int = 1,
     initial_best_f1: float = 0.0,
@@ -91,7 +90,9 @@ def fit(
     else:
         # Legacy checkpoints without scheduler state: conservatively
         # re-observe best_f1 once (approximate — plateau decays are lost).
-        if start_epoch > 1:
+        # 'none'/'cosine' are closed-form in the epoch index, so legacy
+        # resume replays them exactly — only plateau loses history.
+        if start_epoch > 1 and cfg.scheduler == "plateau":
             print(
                 "WARNING: resuming from a legacy checkpoint without saved "
                 "scheduler state — plateau decay history is lost; the LR "
@@ -157,19 +158,26 @@ def fit(
         # so the ordering is unobservable on its side.)
         sched.step(metrics["val_f1"])
 
-        if is_best or save_last_every_epoch:
-            val_summary = {
-                "loss": metrics["val_loss"],
-                "accuracy": metrics["val_acc"],
-                "f1_macro": metrics["val_f1"],
-                "f1_weighted": vm["f1_weighted"],
-                # running best, so resume restores best-model tracking
-                # exactly (this epoch's f1 alone would understate it when
-                # the checkpointed epoch isn't the best one)
-                "best_f1_macro": best_f1,
-            }
-            logger.save_checkpoint(state, epoch, val_summary, is_best,
-                                   scheduler_state=sched.state_dict())
+        # EVERY epoch: the logger overwrites last_model.pt each call and
+        # best_model.pt on is_best. The reference's trainers only call
+        # their logger on best epochs (train_latent_vit.py:346-350), but
+        # its logger's own contract says last_model.pt should hold the
+        # FINAL epoch (utils/experiment_logger.py:134-136) — and this
+        # rebuild's --resume extension is only sound if it does: a crash
+        # after the last improvement must not lose those epochs, and a
+        # resumed run that never improves must still leave a checkpoint.
+        val_summary = {
+            "loss": metrics["val_loss"],
+            "accuracy": metrics["val_acc"],
+            "f1_macro": metrics["val_f1"],
+            "f1_weighted": vm["f1_weighted"],
+            # running best, so resume restores best-model tracking
+            # exactly (this epoch's f1 alone would understate it when
+            # the checkpointed epoch isn't the best one)
+            "best_f1_macro": best_f1,
+        }
+        logger.save_checkpoint(state, epoch, val_summary, is_best,
+                               scheduler_state=sched.state_dict())
 
     # Final evaluation + report (reference: train_latent_vit.py:358-382).
     # The last loop iteration already evaluated this exact state (nothing

@@ -104,3 +104,27 @@ def test_image_store_native_matches_pil(tmp_path):
     np.testing.assert_array_equal(s_native.labels, s_pil.labels)
     diff = np.abs(s_native.images.astype(int) - s_pil.images.astype(int))
     assert diff.max() <= 2
+
+
+def test_misextensioned_content_retries_with_pil(tmp_path):
+    """A .jpg whose BYTES are WebP (mislabeled download) fails the native
+    magic check — the batch must PIL-retry such files, not black-fill
+    them (the failure count alone doesn't say which file failed, so the
+    native subset is re-decoded with PIL on any failure)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    good = rng.integers(30, 225, size=(40, 40, 3), dtype=np.uint8)
+    p_good = str(tmp_path / "good.jpg")
+    Image.fromarray(good).save(p_good, "JPEG")
+    sneaky = rng.integers(30, 225, size=(40, 40, 3), dtype=np.uint8)
+    p_webp = str(tmp_path / "really_webp.jpg")
+    Image.fromarray(sneaky).save(p_webp, "WEBP")  # webp bytes, .jpg name
+
+    out = nd.decode_batch([p_good, p_webp], 32)
+    assert out[0].sum() > 0
+    assert out[1].sum() > 0, "mislabeled webp black-filled instead of PIL retry"
+    with Image.open(p_webp) as im:
+        ref = np.asarray(im.convert("RGB").resize((32, 32), Image.BILINEAR),
+                         np.uint8)
+    assert np.array_equal(out[1], ref)  # PIL-retried rows are exact

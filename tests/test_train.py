@@ -343,14 +343,13 @@ class TestSchedulerStateResume:
         h, state = build(6)
         log_a = ExperimentLogger("straight", base_dir=str(tmp_path))
         res_a = fit(h, state, x, y, vx, vy, log_a, hist_every=0,
-                    verbose=False, save_last_every_epoch=True)
+                    verbose=False)
         log_a.close()
 
         # Interrupted: 3 epochs, then resume 4..6 from the checkpoint.
         h, state = build(3)
         log_b1 = ExperimentLogger("part1", base_dir=str(tmp_path))
-        fit(h, state, x, y, vx, vy, log_b1, hist_every=0, verbose=False,
-            save_last_every_epoch=True)
+        fit(h, state, x, y, vx, vy, log_b1, hist_every=0, verbose=False)
         log_b1.close()
         ckpt = os.path.join(log_b1.run_dir, "checkpoints", "last_model.pt")
 
@@ -362,7 +361,7 @@ class TestSchedulerStateResume:
         log_b2 = ExperimentLogger("part2", base_dir=str(tmp_path))
         res_b = fit(
             h2, loaded["state"], x, y, vx, vy, log_b2, hist_every=0,
-            verbose=False, save_last_every_epoch=True,
+            verbose=False,
             start_epoch=4,
             initial_best_f1=float(loaded["metrics"]["best_f1_macro"]),
             scheduler_state=loaded["scheduler_state"],
