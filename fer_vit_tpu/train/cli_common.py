@@ -70,6 +70,23 @@ def augment_from_args(args):
     return None
 
 
+def load_resume(args, state):
+    """Restore (state, start_epoch, initial_best_f1, scheduler_state) from
+    ``--resume`` — THE resume implementation for every trainer (params +
+    optimizer + epoch + best-F1 seed + exact scheduler state)."""
+    resume_path = getattr(args, "resume", None)
+    if not resume_path:
+        return state, 1, 0.0, None
+    loaded = ExperimentLogger.load_checkpoint(resume_path,
+                                              state_template=state)
+    initial_best = float(loaded["metrics"].get("best_f1_macro")
+                         or loaded["metrics"].get("f1_macro") or 0.0)
+    print(f"Resumed from {resume_path} at epoch {loaded['epoch']} "
+          f"(best f1 {initial_best:.4f})")
+    return (loaded["state"], loaded["epoch"] + 1, initial_best,
+            loaded.get("scheduler_state"))
+
+
 def run_latent_training(
     args,
     model,
@@ -108,18 +125,7 @@ def run_latent_training(
     if init_params_patch is not None:
         state = state.replace(params=init_params_patch(state.params))
 
-    start_epoch, initial_best, sched_state = 1, 0.0, None
-    resume_path = getattr(args, "resume", None)
-    if resume_path:
-        loaded = ExperimentLogger.load_checkpoint(resume_path,
-                                                  state_template=state)
-        state = loaded["state"]
-        start_epoch = loaded["epoch"] + 1
-        initial_best = float(loaded["metrics"].get("best_f1_macro")
-                     or loaded["metrics"].get("f1_macro") or 0.0)
-        sched_state = loaded.get("scheduler_state")
-        print(f"Resumed from {resume_path} at epoch {loaded['epoch']} "
-              f"(best f1 {initial_best:.4f})")
+    state, start_epoch, initial_best, sched_state = load_resume(args, state)
 
     logger = ExperimentLogger(experiment_name, base_dir=args.experiments_dir)
     logger.log_config(config)

@@ -35,6 +35,7 @@ from fer_vit_tpu.models import (
     create_vit_tiny,
 )
 from fer_vit_tpu.models.timm_vit import create_timm_vit
+from fer_vit_tpu.train.cli_common import load_resume
 from fer_vit_tpu.train.harness import Harness, TrainConfig
 from fer_vit_tpu.train.loop import fit
 from fer_vit_tpu.utils.experiment_logger import (
@@ -164,17 +165,7 @@ def main(args) -> dict:
     if params_patch is not None:
         state = state.replace(params=params_patch(state.params))
 
-    start_epoch, initial_best, sched_state = 1, 0.0, None
-    if args.resume:
-        loaded = ExperimentLogger.load_checkpoint(args.resume,
-                                                  state_template=state)
-        state = loaded["state"]
-        start_epoch = loaded["epoch"] + 1
-        initial_best = float(loaded["metrics"].get("best_f1_macro")
-                     or loaded["metrics"].get("f1_macro") or 0.0)
-        sched_state = loaded.get("scheduler_state")
-        print(f"Resumed from {args.resume} at epoch {loaded['epoch']} "
-              f"(best f1 {initial_best:.4f})")
+    state, start_epoch, initial_best, sched_state = load_resume(args, state)
 
     model_config = {
         "model_size": args.model_size, "img_size": args.img_size,

@@ -14,18 +14,14 @@ from __future__ import annotations
 import argparse
 
 import jax
-import jax.numpy as jnp
 
 from fer_vit_tpu.core.dtypes import default_policy
 from fer_vit_tpu.data.latent_augment import get_latent_train_transforms
 from fer_vit_tpu.data.latent_store import train_val_arrays
 from fer_vit_tpu.models import LatentViT
-from fer_vit_tpu.train.harness import Harness, TrainConfig
-from fer_vit_tpu.train.loop import fit
-from fer_vit_tpu.utils.experiment_logger import (
-    ExperimentLogger,
-    create_experiment_name,
-)
+from fer_vit_tpu.train.cli_common import run_latent_training
+from fer_vit_tpu.train.harness import TrainConfig
+from fer_vit_tpu.utils.experiment_logger import create_experiment_name
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -128,29 +124,6 @@ def main(args) -> dict:
         augment=augment,
         clean_metrics_forward=True,  # reference :138-141 runs it always
     )
-    class_weights = (
-        train_store.class_weights(args.num_classes)
-        if args.use_class_weights else None
-    )
-    if class_weights is not None:
-        print(f"Class weights: {class_weights}")
-
-    harness = Harness(model=model, cfg=cfg, class_weights=class_weights)
-    state = harness.init_state(
-        jax.random.key(args.seed),
-        jnp.zeros((1, args.seq_len, args.latent_dim)),
-    )
-    start_epoch, initial_best, sched_state = 1, 0.0, None
-    if args.resume:
-        loaded = ExperimentLogger.load_checkpoint(args.resume,
-                                                  state_template=state)
-        state = loaded["state"]
-        start_epoch = loaded["epoch"] + 1
-        initial_best = float(loaded["metrics"].get("best_f1_macro")
-                     or loaded["metrics"].get("f1_macro") or 0.0)
-        sched_state = loaded.get("scheduler_state")
-        print(f"Resumed from {args.resume} at epoch {loaded['epoch']}")
-
     model_config = {
         "latent_dim": args.latent_dim, "seq_len": args.seq_len,
         "embed_dim": args.embed_dim, "depth": args.depth, "heads": args.heads,
@@ -179,24 +152,10 @@ def main(args) -> dict:
     base_name = create_experiment_name(model_config, training_config,
                                        is_latent=True)
     experiment_name = f"{base_name}_frac{int(args.data_fraction * 100)}"
-    logger = ExperimentLogger(experiment_name, base_dir=args.experiments_dir)
-    logger.log_config(config)
-
-    results = fit(
-        harness, state,
-        train_store.latents, train_store.labels,
-        val_store.latents, val_store.labels,
-        logger,
-        start_epoch=start_epoch,
-        initial_best_f1=initial_best,
-        scheduler_state=sched_state,
-    )
-    final = dict(results["final_metrics"], data_fraction=args.data_fraction)
-    logger.log_experiment_summary(final)
-    logger.close()
-    print(f"\nBest F1 macro: {results['best_f1']:.4f}")
-    print(f"Experiment results: {logger.get_experiment_path()}")
-    return results
+    # shared tail (cli_common): class weights, auto-DP mesh, harness,
+    # --resume, logger, fit, summary — one implementation for all trainers
+    return run_latent_training(args, model, cfg, experiment_name, config,
+                               train_store, val_store)
 
 
 if __name__ == "__main__":
