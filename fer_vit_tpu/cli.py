@@ -80,3 +80,19 @@ def compute_expression_direction():
 
 def export_torch_checkpoint():
     return _run("fer_vit_tpu.interop.export_torch_checkpoint")
+
+
+# -- serving (rebuild extension; fer_vit_tpu/serve.py) ------------------------
+
+def predict():
+    from fer_vit_tpu import serve as _serve
+
+    _serve.predict_main(_serve.build_predict_parser().parse_args())
+    return None
+
+
+def serve():
+    from fer_vit_tpu import serve as _serve
+
+    _serve.serve_main(_serve.build_serve_parser().parse_args())
+    return None

@@ -324,8 +324,9 @@ class EncoderWrapper:
                                  fold_bn1=fold_bn1)
         self.encoder = encoder or PSpEncoder(dtype=dtype)
         if variables is None:
+            size = self.encoder.input_size
             variables = self.encoder.init(
-                jax.random.key(seed), jnp.zeros((1, 256, 256, 3))
+                jax.random.key(seed), jnp.zeros((1, size, size, 3))
             )
         elif getattr(self.encoder, "fuse_bn", False):
             from fer_vit_tpu.encoders.folding import fold_psp_variables
@@ -342,7 +343,7 @@ class EncoderWrapper:
 
         @jax.jit
         def _encode(variables, images):
-            x = preprocess_images(images)
+            x = preprocess_images(images, size=self.encoder.input_size)
             return self.encoder.apply(variables, x)
 
         self._encode = _encode

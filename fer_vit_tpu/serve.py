@@ -1,0 +1,500 @@
+"""Production inference: offline batch prediction + HTTP serving.
+
+Rebuild extension — the reference ships no serving surface; its closest
+analogues are the latency protocol (reference:
+scripts/measure_full_pipeline.py:17-45) and the offline evaluators
+(reference: eval/evaluate_model.py, eval/evaluate_image_vit.py), which
+require pre-generated latents / labeled directory trees. This module
+turns the compiled pipelines into a deployable inference surface:
+
+- :class:`Predictor` — ONE jitted static-shape function
+  ``(B, S, S, 3) images → (labels, probs)``. Latent checkpoints run
+  preprocess → pSp encode → classify fused into a single XLA program
+  (bf16 trunk on TPU); image checkpoints (ImageViT) run
+  normalize → forward. Checkpoint routing/loading reuses the
+  checkpoint-polymorphic loader (both this framework's msgpack files and
+  reference-format torch ``.pt`` via ``fer_vit_tpu.interop``). Arbitrary
+  request counts are padded to the compiled batch so the chip never
+  recompiles.
+- ``fervit-predict`` — offline CLI: image files/dirs → JSON predictions;
+  native C++ batch decode with background prefetch (double-buffered
+  feed, same machinery as ``generate_latents``).
+- ``fervit-serve`` — stdlib ``ThreadingHTTPServer`` with dynamic request
+  batching: concurrent ``POST /predict`` requests are coalesced (up to
+  ``--max_batch`` / ``--max_wait_ms``) onto the static-shape compiled
+  function, so independent clients still feed the MXU full batches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import queue
+import threading
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fer_vit_tpu import EMOTION_NAMES
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def _label_name(label: int) -> str:
+    return (EMOTION_NAMES[label] if 0 <= label < len(EMOTION_NAMES)
+            else str(label))
+
+
+class Predictor:
+    """End-to-end FER inference behind one jitted static-shape function.
+
+    Build directly (``Predictor(model, variables, psp=...)``) or from a
+    checkpoint file (:meth:`from_checkpoint`). ``psp`` is required for
+    latent-space checkpoints (LatentViT/v2/CNN/Hybrid) and must be an
+    :class:`fer_vit_tpu.encoders.psp.EncoderWrapper`; image checkpoints
+    (ImageViT) take the image route and need no encoder.
+    """
+
+    def __init__(self, model, variables, *, psp=None,
+                 batch_size: int = 64, image_route: bool = False,
+                 input_size: Optional[int] = None):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        self.model = model
+        self.batch_size = int(batch_size)
+        self.image_route = bool(image_route)
+        self.num_classes = int(getattr(model, "num_classes",
+                                       len(EMOTION_NAMES)))
+
+        if image_route:
+            from fer_vit_tpu.data.image_pipeline import normalize_images
+
+            size = int(input_size or getattr(model, "img_size", 224))
+
+            def fn(cls_vars, images):
+                # integer inputs are 0-255; float inputs disambiguated by
+                # scale (same heuristic as encoders.psp.preprocess_images)
+                x = images.astype(jnp.float32)
+                if jnp.issubdtype(images.dtype, jnp.integer):
+                    x = x / 255.0
+                else:
+                    x = jnp.where(jnp.max(jnp.abs(x)) > 2.0, x / 255.0, x)
+                logits = model.apply(cls_vars, normalize_images(
+                    x, out_size=size, already_01=True))
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return jnp.argmax(logits, axis=-1), probs
+
+            self._fn = jax.jit(fn)
+            self._fn_args = (variables,)
+        else:
+            if psp is None:
+                raise ValueError(
+                    "latent checkpoints need a pSp encoder: pass "
+                    "psp=EncoderWrapper(...) or use from_checkpoint("
+                    "psp_weights=<converted .npz>)")
+            from fer_vit_tpu.encoders.psp import preprocess_images
+
+            enc = psp.encoder
+            size = int(input_size or enc.input_size)
+
+            def fn(enc_vars, cls_vars, images):
+                x = preprocess_images(images, size=enc.input_size)
+                w = enc.apply(enc_vars, x)
+                logits = model.apply(cls_vars, w)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return jnp.argmax(logits, axis=-1), probs
+
+            self._fn = jax.jit(fn)
+            self._fn_args = (psp.variables, variables)
+        self.input_size = size
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_path: str, *,
+                        psp_weights: Optional[str] = None, psp=None,
+                        batch_size: int = 64,
+                        dtype=jnp.bfloat16) -> "Predictor":
+        """Load any FER checkpoint (ours or reference-format torch) and
+        route it: image configs → image route, latent configs → pSp route
+        (``psp_weights``: a converted encoder ``.npz``, see
+        ``fer_vit_tpu/encoders/convert_psp.py``)."""
+        from fer_vit_tpu.eval.evaluate_model import load_model
+
+        model, variables, config = load_model(checkpoint_path)
+        model_config = (config.get("model", config)
+                        if isinstance(config, dict) else {})
+        image_route = ("img_size" in model_config
+                       or "patch_size" in model_config)
+        if image_route:
+            return cls(model, variables, batch_size=batch_size,
+                       image_route=True,
+                       input_size=model_config.get("img_size", 224))
+        if psp is None:
+            if psp_weights is None:
+                raise ValueError(
+                    "this is a latent-space checkpoint; pass "
+                    "psp_weights=<converted pSp .npz> (convert the torch "
+                    "checkpoint via fer_vit_tpu/encoders/convert_psp.py)")
+            from fer_vit_tpu.encoders.psp import EncoderWrapper
+
+            psp = EncoderWrapper.from_npz(psp_weights, dtype=dtype)
+        return cls(model, variables, psp=psp, batch_size=batch_size)
+
+    def describe(self) -> dict:
+        return {
+            "route": "image" if self.image_route else "latent",
+            "model": type(self.model).__name__,
+            "batch_size": self.batch_size,
+            "input_size": self.input_size,
+            "num_classes": self.num_classes,
+        }
+
+    # -- inference ---------------------------------------------------------
+
+    def predict(self, images) -> Tuple[np.ndarray, np.ndarray]:
+        """(N, S, S, 3) images (uint8 0-255, or float 0-1 / 0-255) →
+        (labels (N,), probs (N, C)). N is arbitrary: chunks are padded to
+        the compiled batch size, so only the first call compiles."""
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        if images.ndim != 4 or images.shape[-1] != 3:
+            raise ValueError(
+                f"expected (N, H, W, 3) images, got {images.shape}")
+        labels_out: List[np.ndarray] = []
+        probs_out: List[np.ndarray] = []
+        for i in range(0, len(images), self.batch_size):
+            chunk = images[i:i + self.batch_size]
+            k = len(chunk)
+            if k < self.batch_size:
+                pad = np.zeros((self.batch_size - k,) + chunk.shape[1:],
+                               chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            labels, probs = self._fn(*self._fn_args, jnp.asarray(chunk))
+            labels_out.append(np.asarray(labels[:k]))
+            probs_out.append(np.asarray(probs[:k], np.float32))
+        return np.concatenate(labels_out), np.concatenate(probs_out)
+
+    def predict_files(self, paths: Sequence[str],
+                      prefetch: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode → predict with a double-buffered feed: the next batch
+        decodes on a background thread (native C++ batch decoder when
+        available, PIL otherwise) while the device runs the current one."""
+        from fer_vit_tpu.data.generate_latents import _decode_batches
+
+        items = [(p, 0) for p in paths]
+        labels_out: List[np.ndarray] = []
+        probs_out: List[np.ndarray] = []
+        for imgs, _labels, _paths, k in _decode_batches(
+                items, self.batch_size, self.input_size, prefetch=prefetch):
+            labels, probs = self._fn(*self._fn_args, jnp.asarray(imgs))
+            labels_out.append(np.asarray(labels[:k]))
+            probs_out.append(np.asarray(probs[:k], np.float32))
+        if not labels_out:
+            return (np.zeros((0,), np.int32),
+                    np.zeros((0, self.num_classes), np.float32))
+        return np.concatenate(labels_out), np.concatenate(probs_out)
+
+    def warmup(self) -> None:
+        """Compile the pipeline before serving traffic."""
+        self.predict(np.zeros(
+            (1, self.input_size, self.input_size, 3), np.uint8))
+
+
+# -- dynamic request batching ------------------------------------------------
+
+
+class _Request:
+    __slots__ = ("image", "event", "result", "error")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.result: Optional[dict] = None
+        self.error: Optional[Exception] = None
+
+
+class Batcher:
+    """Coalesce concurrent single-image requests into device batches.
+
+    A background thread blocks on the queue; on the first request it
+    waits up to ``max_wait_ms`` (or until ``max_batch`` requests are
+    queued) before running the predictor, so bursts ride one XLA call.
+    """
+
+    def __init__(self, predictor: Predictor, max_batch: Optional[int] = None,
+                 max_wait_ms: float = 5.0):
+        self.predictor = predictor
+        self.max_batch = int(max_batch or predictor.batch_size)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._loop, name="fervit-batcher", daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, timeout: float = 30.0) -> dict:
+        if self._stop.is_set():
+            raise RuntimeError("batcher is closed")
+        req = _Request(np.asarray(image))
+        self._q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError(f"inference did not finish in {timeout}s")
+        if req.error is not None:
+            raise req.error
+        assert req.result is not None
+        return req.result
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    req = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if req is not None:
+                    batch.append(req)
+            try:
+                images = np.stack([r.image for r in batch])
+                labels, probs = self.predictor.predict(images)
+            except Exception as e:  # report to every waiter, keep serving
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+                continue
+            for r, label, prob in zip(batch, labels, probs):
+                r.result = {
+                    "label": int(label),
+                    "label_name": _label_name(int(label)),
+                    "probs": [float(p) for p in prob],
+                }
+                r.event.set()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)
+        self._thread.join(timeout=5.0)
+
+
+# -- HTTP server --------------------------------------------------------------
+
+
+def _decode_request_image(body: bytes, size: int) -> np.ndarray:
+    """Request bytes (any PIL-readable format) → (size, size, 3) uint8."""
+    from PIL import Image
+
+    with Image.open(io.BytesIO(body)) as im:
+        im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+def make_server(predictor: Predictor, host: str = "127.0.0.1",
+                port: int = 8000, max_batch: Optional[int] = None,
+                max_wait_ms: float = 5.0, quiet: bool = True):
+    """→ a ``ThreadingHTTPServer`` (``.batcher`` attached for shutdown).
+
+    Routes: ``GET /healthz`` → model/device info; ``POST /predict`` with
+    raw image bytes → ``{"label", "label_name", "probs"}``.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    batcher = Batcher(predictor, max_batch=max_batch,
+                      max_wait_ms=max_wait_ms)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *fmt_args):  # noqa: N802
+            if not quiet:
+                BaseHTTPRequestHandler.log_message(self, fmt, *fmt_args)
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path in ("/healthz", "/health"):
+                self._json(200, {
+                    "ok": True,
+                    "platform": jax.devices()[0].platform,
+                    "model": predictor.describe(),
+                })
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/predict":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                length = 0
+            if length <= 0:
+                self._json(400, {"error": "empty body; POST image bytes"})
+                return
+            body = self.rfile.read(length)
+            try:
+                image = _decode_request_image(body, predictor.input_size)
+            except Exception as e:
+                self._json(400, {"error": f"undecodable image: {e}"})
+                return
+            try:
+                result = batcher.submit(image)
+            except TimeoutError as e:
+                self._json(503, {"error": str(e)})
+                return
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._json(200, result)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher
+    return server
+
+
+# -- CLIs ----------------------------------------------------------------------
+
+
+def _collect_inputs(inputs: Sequence[str]) -> List[str]:
+    """Files and/or directories (recursive) → ordered unique image paths."""
+    out: List[str] = []
+    seen = set()
+
+    def add(path: str) -> None:
+        if path not in seen:
+            seen.add(path)
+            out.append(path)
+
+    for item in inputs:
+        if os.path.isdir(item):
+            for root, _dirs, files in os.walk(item):
+                for name in sorted(files):
+                    if name.lower().endswith(IMG_EXTS):
+                        add(os.path.join(root, name))
+        elif os.path.isfile(item):
+            add(item)
+        else:
+            raise FileNotFoundError(f"--input entry not found: {item}")
+    return out
+
+
+def build_predict_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Offline batch FER prediction over image files")
+    p.add_argument("--checkpoint_path", required=True,
+                   help="FER checkpoint (ours or reference-format torch)")
+    p.add_argument("--input", required=True, nargs="+",
+                   help="image files and/or directories (recursive)")
+    p.add_argument("--output", default=None,
+                   help="write predictions JSON here (default: stdout)")
+    p.add_argument("--psp_weights", default=None,
+                   help="converted pSp encoder .npz (required for "
+                        "latent-space checkpoints)")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--top_k", type=int, default=1)
+    return p
+
+
+def predict_main(args) -> dict:
+    paths = _collect_inputs(args.input)
+    if not paths:
+        raise SystemExit("no images found under --input")
+    predictor = Predictor.from_checkpoint(
+        args.checkpoint_path, psp_weights=args.psp_weights,
+        batch_size=args.batch_size)
+    labels, probs = predictor.predict_files(paths)
+    top_k = max(1, args.top_k)
+    predictions = []
+    for path, label, prob in zip(paths, labels, probs):
+        order = np.argsort(prob)[::-1][:top_k]
+        predictions.append({
+            "path": path,
+            "label": int(label),
+            "label_name": _label_name(int(label)),
+            "top_k": [{"label": int(j), "label_name": _label_name(int(j)),
+                       "prob": float(prob[j])} for j in order],
+        })
+    report = {
+        "checkpoint": args.checkpoint_path,
+        "model": predictor.describe(),
+        "num_images": len(paths),
+        "predictions": predictions,
+    }
+    text = json.dumps(report, indent=2)
+    if args.output:
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        with open(args.output, "w") as f:
+            f.write(text + "\n")
+        print(f"wrote {len(paths)} predictions to {args.output}")
+    else:
+        print(text)
+    return report
+
+
+def build_serve_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="FER inference HTTP server with dynamic batching")
+    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--psp_weights", default=None,
+                   help="converted pSp encoder .npz (required for "
+                        "latent-space checkpoints)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch_size", type=int, default=64,
+                   help="compiled device batch size")
+    p.add_argument("--max_batch", type=int, default=None,
+                   help="max requests coalesced per device call "
+                        "(default: batch_size)")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="batching window after the first queued request")
+    return p
+
+
+def serve_main(args) -> None:
+    predictor = Predictor.from_checkpoint(
+        args.checkpoint_path, psp_weights=args.psp_weights,
+        batch_size=args.batch_size)
+    print(f"compiling {predictor.describe()} ...")
+    predictor.warmup()
+    server = make_server(predictor, host=args.host, port=args.port,
+                         max_batch=args.max_batch,
+                         max_wait_ms=args.max_wait_ms, quiet=False)
+    print(f"serving on http://{args.host}:{server.server_port} "
+          f"(POST /predict, GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.batcher.close()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "serve":
+        serve_main(build_serve_parser().parse_args(sys.argv[2:]))
+    else:
+        predict_main(build_predict_parser().parse_args())

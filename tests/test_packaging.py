@@ -64,6 +64,7 @@ def test_console_entry_points_exist(installed):
         "fervit-evaluate-model", "fervit-evaluate-image-vit",
         "fervit-generate-latents", "fervit-compute-expression-direction",
         "fervit-export-torch-checkpoint",
+        "fervit-predict", "fervit-serve",
     }
     assert expected <= set(os.listdir(bin_dir))
 

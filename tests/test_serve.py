@@ -1,0 +1,384 @@
+"""Serving-layer tests (fer_vit_tpu/serve.py): Predictor routing and
+padding, offline file prediction, dynamic request batching, and the HTTP
+server end-to-end. Rebuild extension — the reference has no serving
+surface (closest: reference scripts/measure_full_pipeline.py:17-45)."""
+
+import io
+import json
+import os
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fer_vit_tpu.encoders.psp import EncoderWrapper, PSpEncoder
+from fer_vit_tpu.models import LatentViT
+from fer_vit_tpu.serve import (
+    Batcher,
+    Predictor,
+    _collect_inputs,
+    build_predict_parser,
+    make_server,
+    predict_main,
+)
+
+TINY_PLAN = ((64, 16, 1), (16, 32, 2), (32, 32, 2), (32, 64, 1))
+MODEL_KW = dict(latent_dim=16, seq_len=18, embed_dim=32, depth=1, heads=2,
+                mlp_dim=64, num_classes=7, dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_psp():
+    enc = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16,
+                     n_styles=18, dtype=jnp.float32)
+    return EncoderWrapper(encoder=enc, seed=0, fold_bn=False)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = LatentViT(**MODEL_KW)
+    variables = model.init(jax.random.key(1), jnp.zeros((1, 18, 16)))
+    return model, variables
+
+
+@pytest.fixture(scope="module")
+def latent_predictor(tiny_psp, tiny_model):
+    model, variables = tiny_model
+    return Predictor(model, variables, psp=tiny_psp, batch_size=4)
+
+
+def _images(n, size=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n, size, size, 3), dtype=np.uint8)
+
+
+# -- Predictor: latent route ---------------------------------------------------
+
+
+def test_predict_matches_manual_composition(latent_predictor, tiny_psp,
+                                            tiny_model):
+    model, variables = tiny_model
+    images = _images(5)
+    labels, probs = latent_predictor.predict(images)
+
+    w = tiny_psp.encode_batch(images)
+    logits = model.apply(variables, w)
+    expected_probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    assert labels.shape == (5,)
+    assert probs.shape == (5, 7)
+    np.testing.assert_allclose(probs, expected_probs, atol=2e-5)
+    np.testing.assert_array_equal(labels,
+                                  np.asarray(jnp.argmax(logits, axis=-1)))
+
+
+def test_padding_invariance_across_batch_sizes(tiny_psp, tiny_model):
+    """N not a multiple of the compiled batch gives the same answers."""
+    model, variables = tiny_model
+    images = _images(5, seed=3)
+    outs = []
+    for bs in (4, 5, 8):
+        p = Predictor(model, variables, psp=tiny_psp, batch_size=bs)
+        outs.append(p.predict(images))
+    for labels, probs in outs[1:]:
+        np.testing.assert_array_equal(labels, outs[0][0])
+        np.testing.assert_allclose(probs, outs[0][1], atol=2e-5)
+
+
+def test_predict_single_image_and_bad_shapes(latent_predictor):
+    labels, probs = latent_predictor.predict(_images(1)[0])  # (S, S, 3)
+    assert labels.shape == (1,) and probs.shape == (1, 7)
+    with pytest.raises(ValueError):
+        latent_predictor.predict(np.zeros((2, 32, 32), np.uint8))
+
+
+def test_predict_files_matches_array_predict(latent_predictor, tmp_path):
+    from PIL import Image
+
+    images = _images(6, seed=5)
+    paths = []
+    for i, img in enumerate(images):
+        p = str(tmp_path / f"img_{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    labels_f, probs_f = latent_predictor.predict_files(paths)
+    labels_a, probs_a = latent_predictor.predict(images)
+    # PNG roundtrip at the native size is lossless, so the decode route
+    # must reproduce the array route exactly (up to jit-order noise)
+    np.testing.assert_array_equal(labels_f, labels_a)
+    np.testing.assert_allclose(probs_f, probs_a, atol=2e-5)
+
+    empty_labels, empty_probs = latent_predictor.predict_files([])
+    assert empty_labels.shape == (0,) and empty_probs.shape == (0, 7)
+
+
+# -- Predictor: checkpoint construction ----------------------------------------
+
+
+def _write_checkpoint(tmp_path, model, model_cfg, sample, name):
+    from fer_vit_tpu.train.harness import Harness, TrainConfig
+    from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
+
+    h = Harness(model=model, cfg=TrainConfig(epochs=1, batch_size=4,
+                                             mixup=0.0))
+    state = h.init_state(jax.random.key(0), sample)
+    logger = ExperimentLogger(name, base_dir=str(tmp_path))
+    logger.log_config({"model": model_cfg, "training": {}})
+    logger.save_checkpoint(state, 1, {"f1_macro": 0.1}, is_best=True)
+    logger.close()
+    return (os.path.join(logger.run_dir, "checkpoints", "best_model.pt"),
+            state)
+
+
+def test_from_checkpoint_latent_route(tmp_path, tiny_psp):
+    model = LatentViT(**MODEL_KW)
+    ckpt, state = _write_checkpoint(tmp_path, model, dict(MODEL_KW),
+                                    jnp.zeros((1, 18, 16)), "serve_latent")
+    predictor = Predictor.from_checkpoint(ckpt, psp=tiny_psp, batch_size=4)
+    assert predictor.describe()["route"] == "latent"
+
+    images = _images(3, seed=7)
+    labels, probs = predictor.predict(images)
+    direct = Predictor(model, {"params": state.params}, psp=tiny_psp,
+                       batch_size=4)
+    labels_d, probs_d = direct.predict(images)
+    np.testing.assert_array_equal(labels, labels_d)
+    np.testing.assert_allclose(probs, probs_d, atol=2e-5)
+
+    with pytest.raises(ValueError, match="pSp"):
+        Predictor.from_checkpoint(ckpt)
+
+
+IMAGE_CFG = dict(img_size=32, patch_size=8, embed_dim=32, depth=1, heads=2,
+                 mlp_dim=64, num_classes=7, dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def image_checkpoint(tmp_path_factory):
+    from fer_vit_tpu.eval.evaluate_image_vit import model_from_config
+
+    tmp = tmp_path_factory.mktemp("serve_image_ckpt")
+    model = model_from_config(dict(IMAGE_CFG))
+    ckpt, _ = _write_checkpoint(tmp, model, dict(IMAGE_CFG),
+                                jnp.zeros((1, 32, 32, 3)), "serve_image")
+    return ckpt
+
+
+def test_from_checkpoint_image_route(image_checkpoint):
+    predictor = Predictor.from_checkpoint(image_checkpoint, batch_size=4)
+    d = predictor.describe()
+    assert d["route"] == "image" and d["input_size"] == 32
+
+    images = _images(5, seed=11)
+    labels, probs = predictor.predict(images)
+    assert labels.shape == (5,) and probs.shape == (5, 7)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+    # the uint8/float input-scale heuristic: 0-255 floats == uint8
+    labels_f, probs_f = predictor.predict(images.astype(np.float32))
+    np.testing.assert_array_equal(labels, labels_f)
+    np.testing.assert_allclose(probs, probs_f, atol=2e-5)
+
+
+# -- dynamic batching -----------------------------------------------------------
+
+
+class _FakePredictor:
+    """Records per-call batch sizes; 'label' = image[0,0,0]."""
+
+    input_size = 8
+    batch_size = 16
+    num_classes = 7
+
+    def __init__(self, delay=0.0):
+        self.calls = []
+        self.delay = delay
+
+    def predict(self, images):
+        self.calls.append(len(images))
+        if self.delay:
+            time.sleep(self.delay)
+        labels = np.asarray([int(img[0, 0, 0]) % 7 for img in images])
+        probs = np.eye(7, dtype=np.float32)[labels]
+        return labels, probs
+
+
+def test_batcher_coalesces_concurrent_requests():
+    fake = _FakePredictor(delay=0.3)
+    batcher = Batcher(fake, max_batch=8, max_wait_ms=50.0)
+    try:
+        results = {}
+
+        def call(i):
+            img = np.full((8, 8, 3), i, np.uint8)
+            results[i] = batcher.submit(img, timeout=10.0)
+
+        threads = [threading.Thread(target=call, args=(0,))]
+        threads[0].start()
+        time.sleep(0.1)  # first request is now mid-predict (0.3s sleep)
+        for i in range(1, 4):
+            threads.append(threading.Thread(target=call, args=(i,)))
+            threads[-1].start()
+        for t in threads:
+            t.join(timeout=15)
+        for i in range(4):
+            assert results[i]["label"] == i % 7
+            assert results[i]["label_name"]
+        assert sum(fake.calls) == 4
+        # requests 1-3 queued while the first ran → coalesced afterwards
+        assert len(fake.calls) <= 3
+    finally:
+        batcher.close()
+
+
+def test_batcher_propagates_predictor_errors():
+    class Boom(_FakePredictor):
+        def predict(self, images):
+            raise RuntimeError("kaboom")
+
+    batcher = Batcher(Boom(), max_wait_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="kaboom"):
+            batcher.submit(np.zeros((8, 8, 3), np.uint8), timeout=10.0)
+        # the loop keeps serving after an error
+        fake_ok = _FakePredictor()
+    finally:
+        batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.submit(np.zeros((8, 8, 3), np.uint8))
+    del fake_ok
+
+
+# -- HTTP server -----------------------------------------------------------------
+
+
+def _png_bytes(img):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def server(latent_predictor):
+    srv = make_server(latent_predictor, host="127.0.0.1", port=0,
+                      max_wait_ms=20.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+    srv.batcher.close()
+    srv.server_close()
+    thread.join(timeout=5)
+
+
+def _url(srv, path):
+    return f"http://127.0.0.1:{srv.server_port}{path}"
+
+
+def test_server_healthz(server, latent_predictor):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["ok"] is True
+    assert body["model"] == latent_predictor.describe()
+
+
+def test_server_predict_end_to_end(server, latent_predictor):
+    images = _images(3, seed=13)
+    expected_labels, expected_probs = latent_predictor.predict(images)
+
+    results = [None] * 3
+    errors = []
+
+    def post(i):
+        req = urllib.request.Request(
+            _url(server, "/predict"), data=_png_bytes(images[i]),
+            headers={"Content-Type": "image/png"})
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                results[i] = json.loads(r.read())
+        except Exception as e:  # surfaced below
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=90)
+    assert not errors, errors
+    for i in range(3):
+        assert results[i]["label"] == int(expected_labels[i])
+        np.testing.assert_allclose(np.asarray(results[i]["probs"]),
+                                   expected_probs[i], atol=1e-4)
+
+
+def test_server_error_routes(server):
+    # undecodable image → 400
+    req = urllib.request.Request(_url(server, "/predict"),
+                                 data=b"not an image")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # unknown route → 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(_url(server, "/nope"), timeout=30)
+    assert e.value.code == 404
+    # empty body → 400
+    req = urllib.request.Request(_url(server, "/predict"), data=b"")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
+# -- CLI ---------------------------------------------------------------------------
+
+
+def test_collect_inputs(tmp_path):
+    from PIL import Image
+
+    (tmp_path / "sub").mkdir()
+    img = _images(1)[0]
+    Image.fromarray(img).save(str(tmp_path / "b.png"))
+    Image.fromarray(img).save(str(tmp_path / "sub" / "a.jpg"))
+    (tmp_path / "notes.txt").write_text("skip me")
+
+    got = _collect_inputs([str(tmp_path)])
+    assert [os.path.basename(p) for p in got] == ["b.png", "a.jpg"]
+    # explicit file + duplicate dir entry dedups, order preserved
+    got2 = _collect_inputs([str(tmp_path / "sub" / "a.jpg"), str(tmp_path)])
+    assert [os.path.basename(p) for p in got2] == ["a.jpg", "b.png"]
+    with pytest.raises(FileNotFoundError):
+        _collect_inputs([str(tmp_path / "missing.png")])
+
+
+def test_predict_cli_image_route(image_checkpoint, tmp_path):
+    from PIL import Image
+
+    images = _images(5, seed=17)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i, img in enumerate(images):
+        Image.fromarray(img).save(str(img_dir / f"{i}.png"))
+
+    out = tmp_path / "preds.json"
+    args = build_predict_parser().parse_args([
+        "--checkpoint_path", image_checkpoint,
+        "--input", str(img_dir),
+        "--output", str(out),
+        "--batch_size", "4", "--top_k", "3",
+    ])
+    report = predict_main(args)
+    assert report["num_images"] == 5
+    on_disk = json.loads(out.read_text())
+    assert on_disk["predictions"] == report["predictions"]
+    for pred in report["predictions"]:
+        assert len(pred["top_k"]) == 3
+        assert pred["top_k"][0]["label"] == pred["label"]
+        probs = [t["prob"] for t in pred["top_k"]]
+        assert probs == sorted(probs, reverse=True)
+        assert pred["label_name"]
