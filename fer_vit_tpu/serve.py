@@ -62,7 +62,7 @@ class Predictor:
 
     def __init__(self, model, variables, *, psp=None,
                  batch_size: int = 64, image_route: bool = False,
-                 input_size: Optional[int] = None):
+                 input_size: Optional[int] = None, mesh=None):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.model = model
@@ -70,6 +70,20 @@ class Predictor:
         self.image_route = bool(image_route)
         self.num_classes = int(getattr(model, "num_classes",
                                        len(EMOTION_NAMES)))
+        # multi-chip serving: params replicated, request batches sharded
+        # over the mesh's data axis — per-image inference has no cross-image
+        # communication, so DP sharding is the whole scaling story
+        # (tests/test_multichip.py proves ≥95% per-device FLOP scaling for
+        # the pSp→LatentViT pipeline)
+        self.mesh = mesh
+        if mesh is not None:
+            from fer_vit_tpu.core.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            if self.batch_size % n_data != 0:
+                raise ValueError(
+                    f"batch_size ({self.batch_size}) must be a multiple of "
+                    f"the mesh data axis ({n_data}) for even sharding")
 
         if image_route:
             from fer_vit_tpu.data.image_pipeline import normalize_images
@@ -112,13 +126,18 @@ class Predictor:
             self._fn = jax.jit(fn)
             self._fn_args = (psp.variables, variables)
         self.input_size = size
+        if mesh is not None:
+            from fer_vit_tpu.core.mesh import replicated
+
+            self._fn_args = tuple(
+                jax.device_put(a, replicated(mesh)) for a in self._fn_args)
 
     # -- construction ------------------------------------------------------
 
     @classmethod
     def from_checkpoint(cls, checkpoint_path: str, *,
                         psp_weights: Optional[str] = None, psp=None,
-                        batch_size: int = 64,
+                        batch_size: int = 64, mesh=None,
                         dtype=jnp.bfloat16) -> "Predictor":
         """Load any FER checkpoint (ours or reference-format torch) and
         route it: image configs → image route, latent configs → pSp route
@@ -132,7 +151,7 @@ class Predictor:
         image_route = ("img_size" in model_config
                        or "patch_size" in model_config)
         if image_route:
-            return cls(model, variables, batch_size=batch_size,
+            return cls(model, variables, batch_size=batch_size, mesh=mesh,
                        image_route=True,
                        input_size=model_config.get("img_size", 224))
         if psp is None:
@@ -144,7 +163,8 @@ class Predictor:
             from fer_vit_tpu.encoders.psp import EncoderWrapper
 
             psp = EncoderWrapper.from_npz(psp_weights, dtype=dtype)
-        return cls(model, variables, psp=psp, batch_size=batch_size)
+        return cls(model, variables, psp=psp, batch_size=batch_size,
+                   mesh=mesh)
 
     def describe(self) -> dict:
         return {
@@ -153,6 +173,8 @@ class Predictor:
             "batch_size": self.batch_size,
             "input_size": self.input_size,
             "num_classes": self.num_classes,
+            "mesh": (dict(self.mesh.shape) if self.mesh is not None
+                     else None),
         }
 
     # -- inference ---------------------------------------------------------
@@ -176,10 +198,17 @@ class Predictor:
                 pad = np.zeros((self.batch_size - k,) + chunk.shape[1:],
                                chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
-            labels, probs = self._fn(*self._fn_args, jnp.asarray(chunk))
+            labels, probs = self._fn(*self._fn_args, self._put(chunk))
             labels_out.append(np.asarray(labels[:k]))
             probs_out.append(np.asarray(probs[:k], np.float32))
         return np.concatenate(labels_out), np.concatenate(probs_out)
+
+    def _put(self, chunk: np.ndarray) -> jax.Array:
+        if self.mesh is None:
+            return jnp.asarray(chunk)
+        from fer_vit_tpu.core.mesh import batch_sharding
+
+        return jax.device_put(chunk, batch_sharding(self.mesh, chunk.ndim))
 
     def predict_files(self, paths: Sequence[str],
                       prefetch: int = 2) -> Tuple[np.ndarray, np.ndarray]:
@@ -193,7 +222,7 @@ class Predictor:
         probs_out: List[np.ndarray] = []
         for imgs, _labels, _paths, k in _decode_batches(
                 items, self.batch_size, self.input_size, prefetch=prefetch):
-            labels, probs = self._fn(*self._fn_args, jnp.asarray(imgs))
+            labels, probs = self._fn(*self._fn_args, self._put(imgs))
             labels_out.append(np.asarray(labels[:k]))
             probs_out.append(np.asarray(probs[:k], np.float32))
         if not labels_out:
@@ -413,7 +442,23 @@ def build_predict_parser() -> argparse.ArgumentParser:
                         "latent-space checkpoints)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--top_k", type=int, default=1)
+    _add_dp_flag(p)
     return p
+
+
+def _add_dp_flag(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dp_devices", type=int, default=1,
+                   help="shard request batches over this many devices "
+                        "(data-parallel; -1 = all devices, 1 = no mesh)")
+
+
+def _mesh_from_flag(dp_devices: int):
+    if dp_devices == 1:
+        return None
+    from fer_vit_tpu.core.mesh import MeshConfig, make_mesh
+
+    n = len(jax.devices()) if dp_devices == -1 else dp_devices
+    return make_mesh(MeshConfig(data=n, model=1))
 
 
 def predict_main(args) -> dict:
@@ -422,7 +467,7 @@ def predict_main(args) -> dict:
         raise SystemExit("no images found under --input")
     predictor = Predictor.from_checkpoint(
         args.checkpoint_path, psp_weights=args.psp_weights,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size, mesh=_mesh_from_flag(args.dp_devices))
     labels, probs = predictor.predict_files(paths)
     top_k = max(1, args.top_k)
     predictions = []
@@ -468,13 +513,14 @@ def build_serve_parser() -> argparse.ArgumentParser:
                         "(default: batch_size)")
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="batching window after the first queued request")
+    _add_dp_flag(p)
     return p
 
 
 def serve_main(args) -> None:
     predictor = Predictor.from_checkpoint(
         args.checkpoint_path, psp_weights=args.psp_weights,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size, mesh=_mesh_from_flag(args.dp_devices))
     print(f"compiling {predictor.describe()} ...")
     predictor.warmup()
     server = make_server(predictor, host=args.host, port=args.port,

@@ -17,6 +17,9 @@ Stages
   afs       the fused AFS train step (SURVEY §3.4): 3 StyleExtractor
             forwards + 3 StyleGAN2 syntheses + ArcFace + LPIPS +
             backward + clipped Adam, finiteness-checked
+  serve     the serving surface (fer_vit_tpu/serve.py): checkpoint →
+            Predictor → native-decode file predictions → HTTP server
+            round-trip equality against the offline path
 
 Each stage prints `<stage> OK`; a failing stage is recorded and the run
 exits non-zero at the end. Per-round machine-readable record:
@@ -175,8 +178,70 @@ def stage_afs() -> None:
     print(f"afs OK (loss={last:.4f})", flush=True)
 
 
+def stage_serve() -> None:
+    """The serving surface on chip: an ImageViT checkpoint through
+    Predictor.from_checkpoint, offline file predictions via the
+    native-decode feed, and an HTTP round-trip that must agree with the
+    offline path (see fer_vit_tpu/serve.py; tests/test_serve.py is the
+    CPU-side coverage)."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from fer_vit_tpu.eval.evaluate_image_vit import model_from_config
+    from fer_vit_tpu.serve import Predictor, _collect_inputs, make_server
+    from fer_vit_tpu.train.harness import Harness, TrainConfig
+    from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
+
+    td = tempfile.mkdtemp(prefix="fervit_validate_")
+    cfg = dict(img_size=64, patch_size=8, embed_dim=64, depth=2, heads=2,
+               mlp_dim=128, num_classes=7, dropout=0.0)
+    model = model_from_config(dict(cfg))
+    h = Harness(model=model,
+                cfg=TrainConfig(epochs=1, batch_size=8, mixup=0.0))
+    state = h.init_state(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    logger = ExperimentLogger("validate_serve", base_dir=td)
+    logger.log_config({"model": cfg, "training": {}})
+    logger.save_checkpoint(state, 1, {"f1_macro": 0.0}, is_best=True)
+    logger.close()
+    ckpt = os.path.join(logger.run_dir, "checkpoints", "best_model.pt")
+
+    img_root = os.path.join(td, "imgs")
+    _image_tree(img_root, 2, size=64)  # 14 PNGs over the 7 class dirs
+    paths = _collect_inputs([img_root])
+    predictor = Predictor.from_checkpoint(ckpt, batch_size=8)
+    labels, probs = predictor.predict_files(paths)
+    assert labels.shape == (14,), labels.shape
+    assert np.isfinite(probs).all()
+    assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-3)
+
+    srv = make_server(predictor, port=0, max_wait_ms=10.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        buf = io.BytesIO()
+        Image.open(paths[0]).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_port}/predict",
+            data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.loads(r.read())
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+        srv.server_close()
+    assert body["label"] == int(labels[0]), (body, int(labels[0]))
+    print(f"serve OK (http label={body['label_name']})", flush=True)
+
+
 STAGES = {"encoder": stage_encoder, "train": stage_train,
-          "genlat": stage_genlat, "afs": stage_afs}
+          "genlat": stage_genlat, "afs": stage_afs,
+          "serve": stage_serve}
 
 
 def main() -> None:

@@ -209,3 +209,48 @@ print("DP_LOSS_OK")
 """
         )
         assert "DP_LOSS_OK" in out
+
+    def test_dp_serving_predictor_matches_single_device(self):
+        """Multi-chip serving (fer_vit_tpu/serve.py): a Predictor built
+        over the 8-device mesh (params replicated, request batches sharded
+        on the data axis) must produce the same labels/probs as the
+        single-device Predictor, including on a padded final chunk."""
+        out = _run_in_8dev(
+            """
+import jax, jax.numpy as jnp, numpy as np
+from fer_vit_tpu.core import make_mesh
+from fer_vit_tpu.encoders.psp import EncoderWrapper, PSpEncoder
+from fer_vit_tpu.models import LatentViT
+from fer_vit_tpu.serve import Predictor
+
+TINY_PLAN = ((64, 16, 1), (16, 32, 2), (32, 32, 2), (32, 64, 1))
+enc = PSpEncoder(plan=TINY_PLAN, input_size=32, style_dim=16, n_styles=18)
+psp = EncoderWrapper(encoder=enc, seed=0, fold_bn=False)
+clf = LatentViT(depth=1, latent_dim=16, embed_dim=64, heads=2, mlp_dim=128)
+clf_vars = clf.init(jax.random.key(1), jnp.zeros((1, 18, 16)))
+
+images = np.random.default_rng(0).integers(
+    0, 256, size=(11, 32, 32, 3)).astype(np.uint8)  # 11: pads the 2nd chunk
+
+single = Predictor(clf, clf_vars, psp=psp, batch_size=8)
+labels_1, probs_1 = single.predict(images)
+
+mesh = make_mesh()
+assert dict(mesh.shape) == {"data": 8, "model": 1}, mesh.shape
+dp = Predictor(clf, clf_vars, psp=psp, batch_size=8, mesh=mesh)
+assert dp.describe()["mesh"] == {"data": 8, "model": 1}
+labels_8, probs_8 = dp.predict(images)
+
+np.testing.assert_array_equal(labels_8, labels_1)
+np.testing.assert_allclose(probs_8, probs_1, rtol=2e-3, atol=2e-3)
+
+try:
+    Predictor(clf, clf_vars, psp=psp, batch_size=6, mesh=mesh)
+except ValueError as e:
+    assert "multiple" in str(e)
+else:
+    raise AssertionError("uneven batch_size should be rejected")
+print("DP_SERVE_OK")
+"""
+        )
+        assert "DP_SERVE_OK" in out
