@@ -138,7 +138,7 @@ def main(args) -> None:
     print(f"Proposed vs Pretrained (d=12): {total_proposed / t_img_pre:.2f}x")
     print(f"Latent ViT ONLY vs Scratch:   {t_lat_vit / t_img_scratch:.2f}x")
 
-    if args.throughput:
+    if args.throughput or args.serving:
         def e2e_step(carry, enc_vars, lv_vars, img):
             w = enc.apply(enc_vars, preprocess_images(img + carry))
             logits = latent_vit.apply(lv_vars, w)
@@ -150,6 +150,58 @@ def main(args) -> None:
         print("\n[Throughput]")
         print(f"pSp→LatentViT end-to-end: {ips:.0f} images/sec/chip "
               f"(batch {b})")
+
+    if args.serving:
+        # Serving-path accounting (fer_vit_tpu/serve.py): the offline CLI /
+        # HTTP server run a double-buffered feed — host decode overlaps the
+        # device step — so the steady-state rate is min(decode, device).
+        # We report the two sides separately rather than wall-clocking
+        # predict_files: per-batch host↔device round-trips through this
+        # image's TPU tunnel measure RPC latency, not production serving
+        # (same reason bench.py times inside one jitted scan).
+        import tempfile
+
+        from PIL import Image
+
+        from fer_vit_tpu.data import native_decode
+
+        n = args.serving
+        td = tempfile.mkdtemp(prefix="fervit_serving_")
+        rng2 = np.random.default_rng(7)
+        paths = []
+        for i in range(n):
+            p = os.path.join(td, f"{i:05d}.jpg")
+            Image.fromarray(rng2.integers(
+                0, 256, size=(256, 256, 3), dtype=np.uint8)).save(
+                    p, quality=90)
+            paths.append(p)
+
+        if native_decode.available():
+            native_decode.decode_batch(paths[:64], 256)  # warm the lib
+            t0 = time.perf_counter()
+            native_decode.decode_batch(paths, 256)
+            route = "native C++"
+        else:
+            from fer_vit_tpu.data.generate_latents import _load_image
+
+            t0 = time.perf_counter()
+            for p in paths:
+                _load_image(p, 256)
+            route = "PIL fallback"
+        decode_ips = n / (time.perf_counter() - t0)
+
+        bound = min(decode_ips, ips)
+        side = "host decode" if decode_ips < ips else "device compute"
+        print("\n[Serving]")
+        print(f"host JPEG decode ({route}, {n} × 256px): "
+              f"{decode_ips:.0f} images/sec")
+        print(f"device pSp→LatentViT: {ips:.0f} images/sec/chip (batch {b})")
+        print(f"sustained serving bound (double-buffered feed): "
+              f"{bound:.0f} images/sec — limited by {side}")
+        if decode_ips < ips:
+            print("  note: decode scales with host cores/processes and "
+                  "shards across hosts; the device side is the "
+                  "per-chip ceiling")
 
     if args.profile_dir:
         print(f"\nCapturing profiler trace to {args.profile_dir} ...")
@@ -169,6 +221,10 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--throughput", action="store_true",
                         help="also report images/sec/chip at this batch size")
+    parser.add_argument("--serving", type=int, default=0, metavar="N",
+                        help="measure the serving feed: decode N synthetic "
+                             "256px JPEGs and report the sustained "
+                             "min(decode, device) rate")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace to this directory")
     main(parser.parse_args())
