@@ -246,18 +246,24 @@ class PSpEncoder(nn.Module):
         return w.astype(jnp.float32)
 
 
+def to_unit_floats(images: jax.Array) -> jax.Array:
+    """uint8/float [0,255] or [0,1] (B,H,W,3) → f32 in [0,1]. THE input
+    scale heuristic — every image entry point (pSp preprocess, image-route
+    serving) must route through this one function so the rule can't drift.
+    Integer inputs are ALWAYS 0-255 (a batch-max heuristic misclassifies
+    uniformly dark uint8 frames); the value heuristic only disambiguates
+    float inputs, whose scale is not knowable from dtype."""
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        return images.astype(jnp.float32) / 255.0
+    x = images.astype(jnp.float32)
+    return jnp.where(jnp.max(jnp.abs(x)) > 2.0, x / 255.0, x)
+
+
 def preprocess_images(images: jax.Array, size: int = 256) -> jax.Array:
     """uint8/float [0,255] or [0,1] (B,H,W,3) → resized, (x−0.5)/0.5
     normalized f32 — the reference transform (encoder_wrapper.py:136-145)
     as a jittable device-side op."""
-    # integer inputs are ALWAYS 0-255 (a batch-max heuristic misclassifies
-    # uniformly dark uint8 frames); the value heuristic only disambiguates
-    # float inputs, whose scale is not knowable from dtype
-    if jnp.issubdtype(images.dtype, jnp.integer):
-        x = images.astype(jnp.float32) / 255.0
-    else:
-        x = images.astype(jnp.float32)
-        x = jnp.where(jnp.max(jnp.abs(x)) > 2.0, x / 255.0, x)
+    x = to_unit_floats(images)
     if x.shape[1] != size or x.shape[2] != size:
         x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]),
                              method=jax.image.ResizeMethod.LINEAR)

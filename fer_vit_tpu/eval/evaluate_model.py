@@ -40,12 +40,20 @@ from fer_vit_tpu.utils.metrics import (
 )
 
 
+def is_image_config(model_config: dict) -> bool:
+    """THE image-vs-latent checkpoint discrimination (reference
+    eval/evaluate_model.py:79-114 discriminates by config keys the same
+    way). Every checkpoint router (this module, serve.Predictor) must use
+    this one predicate so a new image-config key can't split the routes."""
+    return "img_size" in model_config or "patch_size" in model_config
+
+
 def model_from_config(model_config: dict):
     """Rebuild the right model class from a checkpoint's model config
     (reference discrimination logic, eval/evaluate_model.py:50-114)."""
     model_config = dict(model_config)
     model_config.setdefault("num_classes", 7)
-    if "img_size" in model_config or "patch_size" in model_config:
+    if is_image_config(model_config):
         # rebuild extension: image checkpoints route here too (the
         # reference splits this into eval/evaluate_image_vit.py). Image
         # configs also carry model_size (tiny/small/base/custom, reference
@@ -119,8 +127,7 @@ def load_torch_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
     )
 
     ckpt, config, model_config, sd = read_torch_checkpoint(checkpoint_path)
-    if (("img_size" in model_config or "patch_size" in model_config)
-            and model_config.get("use_pretrained")):
+    if is_image_config(model_config) and model_config.get("use_pretrained"):
         # the interop tables cover the reference's OWN ImageViT class; a
         # timm-pretrained trunk checkpoint converts through the dedicated
         # weight converter instead — fail with the route, not a KeyError
@@ -134,7 +141,7 @@ def load_torch_model(checkpoint_path: str) -> Tuple[object, dict, dict]:
             "from-scratch ImageViT only")
     model = model_from_config(model_config)
 
-    if "img_size" in model_config or "patch_size" in model_config:
+    if is_image_config(model_config):
         sample = jnp.zeros((1, model_config.get("img_size", 224),
                             model_config.get("img_size", 224), 3))
     else:
@@ -170,7 +177,7 @@ def load_model(checkpoint_path: str, with_meta: bool = False):
     model_config = config.get("model", config)
     model = model_from_config(model_config)
 
-    if "img_size" in model_config or "patch_size" in model_config:
+    if is_image_config(model_config):
         img = model_config.get("img_size", 224)
         sample = jnp.zeros((1, img, img, 3))
     else:

@@ -288,8 +288,11 @@ def model_kind_from_config(model_config: Dict[str, Any]) -> str:
     # Image configs carry BOTH model_size (tiny/small/base/custom,
     # reference train/train_image_vit.py:237-246) and img_size/patch_size,
     # so the image check must come before the hybrid one (hybrid configs
-    # never store image geometry).
-    if "img_size" in model_config or "patch_size" in model_config:
+    # never store image geometry). Lazy import: evaluate_model owns THE
+    # image-vs-latent predicate and imports interop lazily, so no cycle.
+    from fer_vit_tpu.eval.evaluate_model import is_image_config
+
+    if is_image_config(model_config):
         return "image_vit"
     if "model_size" in model_config:
         return "hybrid"

@@ -87,19 +87,13 @@ class Predictor:
 
         if image_route:
             from fer_vit_tpu.data.image_pipeline import normalize_images
+            from fer_vit_tpu.encoders.psp import to_unit_floats
 
             size = int(input_size or getattr(model, "img_size", 224))
 
             def fn(cls_vars, images):
-                # integer inputs are 0-255; float inputs disambiguated by
-                # scale (same heuristic as encoders.psp.preprocess_images)
-                x = images.astype(jnp.float32)
-                if jnp.issubdtype(images.dtype, jnp.integer):
-                    x = x / 255.0
-                else:
-                    x = jnp.where(jnp.max(jnp.abs(x)) > 2.0, x / 255.0, x)
                 logits = model.apply(cls_vars, normalize_images(
-                    x, out_size=size, already_01=True))
+                    to_unit_floats(images), out_size=size, already_01=True))
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 return jnp.argmax(logits, axis=-1), probs
 
@@ -143,13 +137,15 @@ class Predictor:
         route it: image configs → image route, latent configs → pSp route
         (``psp_weights``: a converted encoder ``.npz``, see
         ``fer_vit_tpu/encoders/convert_psp.py``)."""
-        from fer_vit_tpu.eval.evaluate_model import load_model
+        from fer_vit_tpu.eval.evaluate_model import (
+            is_image_config,
+            load_model,
+        )
 
         model, variables, config = load_model(checkpoint_path)
         model_config = (config.get("model", config)
                         if isinstance(config, dict) else {})
-        image_route = ("img_size" in model_config
-                       or "patch_size" in model_config)
+        image_route = is_image_config(model_config)
         if image_route:
             return cls(model, variables, batch_size=batch_size, mesh=mesh,
                        image_route=True,
@@ -189,6 +185,9 @@ class Predictor:
         if images.ndim != 4 or images.shape[-1] != 3:
             raise ValueError(
                 f"expected (N, H, W, 3) images, got {images.shape}")
+        if len(images) == 0:
+            return (np.zeros((0,), np.int32),
+                    np.zeros((0, self.num_classes), np.float32))
         labels_out: List[np.ndarray] = []
         probs_out: List[np.ndarray] = []
         for i in range(0, len(images), self.batch_size):
@@ -264,15 +263,20 @@ class Batcher:
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._stop = threading.Event()
+        # serializes the closed-check+enqueue against close(), so a request
+        # can never slip into the queue after the drain — without it a
+        # submit racing close() would block its full timeout
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._loop, name="fervit-batcher", daemon=True)
         self._thread.start()
 
     def submit(self, image: np.ndarray, timeout: float = 30.0) -> dict:
-        if self._stop.is_set():
-            raise RuntimeError("batcher is closed")
         req = _Request(np.asarray(image))
-        self._q.put(req)
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("batcher is closed")
+            self._q.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError(f"inference did not finish in {timeout}s")
         if req.error is not None:
@@ -317,9 +321,20 @@ class Batcher:
                 r.event.set()
 
     def close(self) -> None:
-        self._stop.set()
-        self._q.put(None)
+        with self._submit_lock:
+            self._stop.set()
+            self._q.put(None)
         self._thread.join(timeout=5.0)
+        # fail any request still queued when the loop exited, instead of
+        # leaving its waiter to block out its timeout
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.error = RuntimeError("batcher is closed")
+                req.event.set()
 
 
 # -- HTTP server --------------------------------------------------------------
@@ -332,6 +347,12 @@ def _decode_request_image(body: bytes, size: int) -> np.ndarray:
     with Image.open(io.BytesIO(body)) as im:
         im = im.convert("RGB").resize((size, size), Image.BILINEAR)
         return np.asarray(im, dtype=np.uint8)
+
+
+# request-body cap: encoded images are at most a few MB; anything larger
+# is a mistake or a memory-exhaustion attempt and is rejected before the
+# body is buffered
+MAX_REQUEST_BYTES = 32 * 1024 * 1024
 
 
 def make_server(predictor: Predictor, host: str = "127.0.0.1",
@@ -381,6 +402,11 @@ def make_server(predictor: Predictor, host: str = "127.0.0.1",
             if length <= 0:
                 self._json(400, {"error": "empty body; POST image bytes"})
                 return
+            if length > MAX_REQUEST_BYTES:
+                self._json(413, {"error": (
+                    f"body too large ({length} bytes; "
+                    f"max {MAX_REQUEST_BYTES})")})
+                return
             body = self.rfile.read(length)
             try:
                 image = _decode_request_image(body, predictor.input_size)
@@ -417,7 +443,8 @@ def _collect_inputs(inputs: Sequence[str]) -> List[str]:
 
     for item in inputs:
         if os.path.isdir(item):
-            for root, _dirs, files in os.walk(item):
+            for root, dirs, files in os.walk(item):
+                dirs.sort()  # deterministic traversal across filesystems
                 for name in sorted(files):
                     if name.lower().endswith(IMG_EXTS):
                         add(os.path.join(root, name))
@@ -455,6 +482,10 @@ def _add_dp_flag(p: argparse.ArgumentParser) -> None:
 def _mesh_from_flag(dp_devices: int):
     if dp_devices == 1:
         return None
+    if dp_devices < 1 and dp_devices != -1:
+        raise SystemExit(
+            f"--dp_devices must be a positive device count or -1 (all "
+            f"devices), got {dp_devices}")
     from fer_vit_tpu.core.mesh import MeshConfig, make_mesh
 
     n = len(jax.devices()) if dp_devices == -1 else dp_devices

@@ -159,6 +159,7 @@ def main(args) -> None:
         # predict_files: per-batch host↔device round-trips through this
         # image's TPU tunnel measure RPC latency, not production serving
         # (same reason bench.py times inside one jitted scan).
+        import shutil
         import tempfile
 
         from PIL import Image
@@ -167,28 +168,31 @@ def main(args) -> None:
 
         n = args.serving
         td = tempfile.mkdtemp(prefix="fervit_serving_")
-        rng2 = np.random.default_rng(7)
-        paths = []
-        for i in range(n):
-            p = os.path.join(td, f"{i:05d}.jpg")
-            Image.fromarray(rng2.integers(
-                0, 256, size=(256, 256, 3), dtype=np.uint8)).save(
-                    p, quality=90)
-            paths.append(p)
+        try:
+            rng2 = np.random.default_rng(7)
+            paths = []
+            for i in range(n):
+                p = os.path.join(td, f"{i:05d}.jpg")
+                Image.fromarray(rng2.integers(
+                    0, 256, size=(256, 256, 3), dtype=np.uint8)).save(
+                        p, quality=90)
+                paths.append(p)
 
-        if native_decode.available():
-            native_decode.decode_batch(paths[:64], 256)  # warm the lib
-            t0 = time.perf_counter()
-            native_decode.decode_batch(paths, 256)
-            route = "native C++"
-        else:
-            from fer_vit_tpu.data.generate_latents import _load_image
+            if native_decode.available():
+                native_decode.decode_batch(paths[:64], 256)  # warm the lib
+                t0 = time.perf_counter()
+                native_decode.decode_batch(paths, 256)
+                route = "native C++"
+            else:
+                from fer_vit_tpu.data.generate_latents import _load_image
 
-            t0 = time.perf_counter()
-            for p in paths:
-                _load_image(p, 256)
-            route = "PIL fallback"
-        decode_ips = n / (time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                for p in paths:
+                    _load_image(p, 256)
+                route = "PIL fallback"
+            decode_ips = n / (time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
 
         bound = min(decode_ips, ips)
         side = "host decode" if decode_ips < ips else "device compute"

@@ -94,6 +94,10 @@ def test_predict_single_image_and_bad_shapes(latent_predictor):
     assert labels.shape == (1,) and probs.shape == (1, 7)
     with pytest.raises(ValueError):
         latent_predictor.predict(np.zeros((2, 32, 32), np.uint8))
+    # a valid-but-empty batch returns empty outputs, not a crash
+    labels0, probs0 = latent_predictor.predict(
+        np.zeros((0, 32, 32, 3), np.uint8))
+    assert labels0.shape == (0,) and probs0.shape == (0, 7)
 
 
 def test_predict_files_matches_array_predict(latent_predictor, tmp_path):
@@ -236,21 +240,24 @@ def test_batcher_coalesces_concurrent_requests():
 
 
 def test_batcher_propagates_predictor_errors():
-    class Boom(_FakePredictor):
+    class BoomOnce(_FakePredictor):
         def predict(self, images):
-            raise RuntimeError("kaboom")
+            if not self.calls:
+                self.calls.append(len(images))
+                raise RuntimeError("kaboom")
+            return _FakePredictor.predict(self, images)
 
-    batcher = Batcher(Boom(), max_wait_ms=1.0)
+    batcher = Batcher(BoomOnce(), max_wait_ms=1.0)
     try:
         with pytest.raises(RuntimeError, match="kaboom"):
             batcher.submit(np.zeros((8, 8, 3), np.uint8), timeout=10.0)
         # the loop keeps serving after an error
-        fake_ok = _FakePredictor()
+        ok = batcher.submit(np.full((8, 8, 3), 3, np.uint8), timeout=10.0)
+        assert ok["label"] == 3
     finally:
         batcher.close()
     with pytest.raises(RuntimeError, match="closed"):
         batcher.submit(np.zeros((8, 8, 3), np.uint8))
-    del fake_ok
 
 
 # -- HTTP server -----------------------------------------------------------------
@@ -333,6 +340,15 @@ def test_server_error_routes(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+    # oversized Content-Length → 413 before the body is buffered
+    from fer_vit_tpu.serve import MAX_REQUEST_BYTES
+
+    req = urllib.request.Request(
+        _url(server, "/predict"), data=b"x",
+        headers={"Content-Length": str(MAX_REQUEST_BYTES + 1)})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 413
 
 
 # -- CLI ---------------------------------------------------------------------------
