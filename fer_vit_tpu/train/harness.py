@@ -124,6 +124,7 @@ class Harness:
     wd_mask: Any = None  # bool pytree: False = no weight decay on that leaf
     has_batch_stats: bool = dataclasses.field(default=False, init=False)
     accepts_mask: bool = dataclasses.field(default=False, init=False)
+    _predict_jit: Any = dataclasses.field(default=None, init=False)
 
     # -- state --------------------------------------------------------------
 
@@ -366,15 +367,31 @@ class Harness:
         return loss_sum / jnp.maximum(n_sum, 1.0), cm
 
     def predictions(self, state, data_x, batch_size: Optional[int] = None):
-        """Full-dataset predictions + probabilities (for reports/eval CLIs)."""
+        """Full-dataset predictions + probabilities (for reports/eval CLIs).
+
+        The final chunk is zero-padded to the static batch size and the
+        padding rows are sliced off after the forward, so the whole dataset
+        costs exactly one XLA compile — consistent with the pad-to-static
+        discipline of the epoch scans above (previously the ragged tail
+        triggered one extra compile per distinct remainder size)."""
         bs = batch_size or self.cfg.batch_size
+        if self._predict_jit is None:
+            def _fn(params, batch_stats, x):
+                if self.eval_transform is not None:
+                    x = self.eval_transform(x)
+                return self._apply_eval(params, batch_stats, x)
+
+            self._predict_jit = jax.jit(_fn)
         outs = []
         for i in range(0, data_x.shape[0], bs):
-            xb = jnp.asarray(data_x[i : i + bs])
-            if self.eval_transform is not None:
-                xb = self.eval_transform(xb)
-            logits = self._apply_eval(state.params, state.batch_stats, xb)
-            outs.append(np.asarray(logits))
+            xb = np.asarray(data_x[i : i + bs])
+            valid = xb.shape[0]
+            if valid < bs:
+                pad = np.zeros((bs - valid,) + xb.shape[1:], xb.dtype)
+                xb = np.concatenate([xb, pad])
+            logits = self._predict_jit(state.params, state.batch_stats,
+                                       jnp.asarray(xb))
+            outs.append(np.asarray(logits)[:valid])
         logits = np.concatenate(outs) if outs else np.zeros((0, self.cfg.num_classes))
         probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
         return logits.argmax(axis=-1), probs

@@ -128,6 +128,74 @@ class ExperimentLogger:
             if key in ("accuracy", "f1_macro", "f1_weighted"):
                 self._add_scalar(f"Validation/{key}", float(value), epoch)
 
+    def log_model_architecture(self, model, input_shape,
+                               variables=None, apply_fn=None,
+                               seed: int = 0) -> str:
+        """JAX analogue of the reference's TB graph trace
+        (reference: utils/experiment_logger.py:64-68 — ``add_graph`` on a
+        ``(1, *input_shape)`` dummy input).
+
+        A traced torch graph has no JAX equivalent, so this records what a
+        JAX user actually inspects instead:
+
+        * a parameter table (dotted name, shape, #params) with totals,
+        * the jaxpr of the eval-mode forward on the dummy input — equation
+          count, primitive histogram, and the (truncated) jaxpr text,
+
+        written as TensorBoard text under ``Model/Architecture`` and to a
+        ``logs/model_architecture.txt`` sidecar. ``variables`` skips the
+        fresh init; ``apply_fn(variables, x)`` overrides the default
+        eval-mode apply for models with nonstandard signatures. Returns
+        the summary string."""
+        import jax
+        import jax.numpy as jnp
+
+        dummy = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
+        if variables is None:
+            variables = model.init(jax.random.key(seed), dummy)
+
+        if apply_fn is None:
+            def apply_fn(v, x):
+                try:
+                    return model.apply(v, x, deterministic=True)
+                except TypeError:
+                    return model.apply(v, x)
+
+        params = (variables.get("params", variables)
+                  if isinstance(variables, dict) else variables)
+        flat = flatten_params(params)
+        lines = [f"Model: {type(model).__name__}",
+                 f"Input shape: (1, {', '.join(str(s) for s in input_shape)})",
+                 "", "Parameters:",
+                 f"  {'name':<60} {'shape':<20} {'#params':>12}"]
+        total = 0
+        for name, arr in flat.items():
+            total += arr.size
+            lines.append(f"  {name:<60} {str(arr.shape):<20} {arr.size:>12,}")
+        lines += [f"  {'TOTAL':<60} {'':<20} {total:>12,}", ""]
+
+        closed = jax.make_jaxpr(apply_fn)(variables, dummy)
+        prims: Dict[str, int] = {}
+        for eqn in closed.jaxpr.eqns:
+            prims[eqn.primitive.name] = prims.get(eqn.primitive.name, 0) + 1
+        lines.append(f"Forward jaxpr: {len(closed.jaxpr.eqns)} equations")
+        lines.append("Primitive histogram: " + ", ".join(
+            f"{k}×{v}" for k, v in
+            sorted(prims.items(), key=lambda kv: -kv[1])))
+        jaxpr_text = str(closed)
+        if len(jaxpr_text) > 20_000:
+            jaxpr_text = jaxpr_text[:20_000] + "\n... [truncated]"
+        lines += ["", "Jaxpr:", jaxpr_text]
+        summary = "\n".join(lines)
+
+        with open(os.path.join(self._log_dir, "model_architecture.txt"),
+                  "w", encoding="utf-8") as f:
+            f.write(summary + "\n")
+        if self.writer is not None:
+            self.writer.add_text("Model/Architecture",
+                                 "```\n" + summary + "\n```")
+        return summary
+
     def log_hyperparameters(self, hparams: Dict[str, Any],
                             metrics: Dict[str, float]) -> None:
         """Reference API (:70-72); TB hparams plus a JSON sidecar."""

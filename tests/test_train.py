@@ -1,6 +1,8 @@
 """Training-harness tests: loss parity vs torch, metrics parity vs sklearn,
 epoch mechanics, schedulers, checkpoint roundtrip."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -442,6 +444,75 @@ class TestCheckpointRoundtrip:
             np.asarray(state.params["head"]["kernel"]),
         )
         logger.close()
+
+
+class TestPredictionsPadding:
+    def test_final_chunk_padded_to_static_shape(self):
+        """VERDICT r3 #9: the ragged tail must not trigger an extra XLA
+        compile — every chunk is padded to the static batch size and the
+        padding rows are sliced off."""
+        h, state = _harness()
+        traced_shapes = []
+
+        def transform(x):  # runs at trace time only: one entry per compile
+            traced_shapes.append(tuple(x.shape))
+            return x
+
+        h.eval_transform = transform
+        x = np.random.default_rng(0).normal(
+            size=(50, 18, 512)).astype(np.float32)
+        preds, probs = h.predictions(state, x)
+        assert preds.shape == (50,)
+        assert probs.shape == (50, 7)
+        assert traced_shapes == [(32, 18, 512)]  # one compile, static shape
+
+        # padding rows must not leak into real outputs
+        direct = h._apply_eval(state.params, state.batch_stats,
+                               jnp.asarray(x))
+        np.testing.assert_array_equal(preds, np.argmax(np.asarray(direct),
+                                                       axis=-1))
+
+
+class TestLogModelArchitecture:
+    def test_summary_written_and_counts_match(self, tmp_path):
+        """VERDICT r3 #7: the one missing logger method — JAX analogue of
+        the reference's add_graph (reference utils/experiment_logger.py:64-68)."""
+        from fer_vit_tpu.utils.experiment_logger import (ExperimentLogger,
+                                                         flatten_params)
+
+        h, state = _harness()
+        logger = ExperimentLogger("arch", base_dir=str(tmp_path))
+        summary = logger.log_model_architecture(h.model, (18, 512))
+        logger.close()
+
+        sidecar = os.path.join(logger.run_dir, "logs",
+                               "model_architecture.txt")
+        assert os.path.exists(sidecar)
+        with open(sidecar) as f:
+            on_disk = f.read()
+        assert summary in on_disk
+        total = sum(a.size for a in flatten_params(state.params).values())
+        assert f"{total:,}" in summary  # param total matches a real init
+        assert "equations" in summary and "Jaxpr:" in summary
+        assert "LatentViT" in summary
+
+    def test_variables_and_apply_fn_overrides(self, tmp_path):
+        from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
+
+        h, state = _harness()
+        logger = ExperimentLogger("arch2", base_dir=str(tmp_path))
+        calls = []
+
+        def apply_fn(v, x):
+            calls.append(x.shape)
+            return h.model.apply(v, x, deterministic=True)
+
+        summary = logger.log_model_architecture(
+            h.model, (18, 512), variables={"params": state.params},
+            apply_fn=apply_fn)
+        logger.close()
+        assert calls and calls[0] == (1, 18, 512)
+        assert "TOTAL" in summary
 
 
 class TestLatentStore:
