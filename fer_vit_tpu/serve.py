@@ -108,7 +108,16 @@ class Predictor:
             from fer_vit_tpu.encoders.psp import preprocess_images
 
             enc = psp.encoder
-            size = int(input_size or enc.input_size)
+            if input_size is not None and int(input_size) != enc.input_size:
+                # preprocess_images always resizes to the encoder's size, so
+                # honoring a different input_size here would mean a silent
+                # double resample (host decode to input_size, then device
+                # resize to enc.input_size) — reject it instead, matching
+                # the strictness of the ImageViT --img_size guard.
+                raise ValueError(
+                    f"latent route: input_size ({input_size}) must equal "
+                    f"the pSp encoder's input size ({enc.input_size})")
+            size = enc.input_size
 
             def fn(enc_vars, cls_vars, images):
                 x = preprocess_images(images, size=enc.input_size)
@@ -209,25 +218,38 @@ class Predictor:
 
         return jax.device_put(chunk, batch_sharding(self.mesh, chunk.ndim))
 
-    def predict_files(self, paths: Sequence[str],
-                      prefetch: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+    def predict_files(self, paths: Sequence[str], prefetch: int = 2,
+                      return_decode_ok: bool = False):
         """Decode → predict with a double-buffered feed: the next batch
         decodes on a background thread (native C++ batch decoder when
-        available, PIL otherwise) while the device runs the current one."""
+        available, PIL otherwise) while the device runs the current one.
+
+        ``return_decode_ok=True`` appends a bool array flagging files the
+        decoder black-filled: both decode routes fall back to an all-zero
+        image on a corrupt file (reference data/image_dataset.py:125-130
+        behavior — fine for training loaders, misleading in a prediction
+        CLI), so an all-black decoded image marks a failed decode."""
         from fer_vit_tpu.data.generate_latents import _decode_batches
 
         items = [(p, 0) for p in paths]
         labels_out: List[np.ndarray] = []
         probs_out: List[np.ndarray] = []
+        ok_out: List[np.ndarray] = []
         for imgs, _labels, _paths, k in _decode_batches(
                 items, self.batch_size, self.input_size, prefetch=prefetch):
             labels, probs = self._fn(*self._fn_args, self._put(imgs))
             labels_out.append(np.asarray(labels[:k]))
             probs_out.append(np.asarray(probs[:k], np.float32))
+            if return_decode_ok:
+                ok_out.append(imgs[:k].reshape(k, -1).any(axis=1))
         if not labels_out:
-            return (np.zeros((0,), np.int32),
-                    np.zeros((0, self.num_classes), np.float32))
-        return np.concatenate(labels_out), np.concatenate(probs_out)
+            out = (np.zeros((0,), np.int32),
+                   np.zeros((0, self.num_classes), np.float32))
+            return out + (np.zeros((0,), bool),) if return_decode_ok else out
+        out = (np.concatenate(labels_out), np.concatenate(probs_out))
+        if return_decode_ok:
+            return out + (np.concatenate(ok_out),)
+        return out
 
     def warmup(self) -> None:
         """Compile the pipeline before serving traffic."""
@@ -248,19 +270,37 @@ class _Request:
         self.error: Optional[Exception] = None
 
 
+class QueueFullError(RuntimeError):
+    """Raised by :meth:`Batcher.submit` when the pending-request queue is
+    at its bound — the server maps it to HTTP 429 (load shedding)."""
+
+
 class Batcher:
     """Coalesce concurrent single-image requests into device batches.
 
     A background thread blocks on the queue; on the first request it
     waits up to ``max_wait_ms`` (or until ``max_batch`` requests are
     queued) before running the predictor, so bursts ride one XLA call.
+
+    Backpressure: at most ``max_queue`` requests may be pending (default
+    ``8 × max_batch``); beyond that :meth:`submit` sheds load with
+    :class:`QueueFullError` instead of growing the queue (and its
+    latency) without bound. ``submit_timeout`` is the default per-request
+    wall-clock bound — raise it for servers built without ``warmup()``,
+    where the first request pays the XLA compile.
     """
 
     def __init__(self, predictor: Predictor, max_batch: Optional[int] = None,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_queue: Optional[int] = None,
+                 submit_timeout: float = 30.0):
         self.predictor = predictor
         self.max_batch = int(max_batch or predictor.batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3
+        self.max_queue = int(max_queue if max_queue is not None
+                             else 8 * self.max_batch)
+        if self.max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {self.max_queue}")
+        self.submit_timeout = float(submit_timeout)
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._stop = threading.Event()
         # serializes the closed-check+enqueue against close(), so a request
@@ -271,11 +311,24 @@ class Batcher:
             target=self._loop, name="fervit-batcher", daemon=True)
         self._thread.start()
 
-    def submit(self, image: np.ndarray, timeout: float = 30.0) -> dict:
-        req = _Request(np.asarray(image))
+    def submit(self, image: np.ndarray,
+               timeout: Optional[float] = None) -> dict:
+        timeout = self.submit_timeout if timeout is None else timeout
+        image = np.asarray(image)
+        s = self.predictor.input_size
+        if image.shape != (s, s, 3):
+            # reject malformed direct-API submissions individually — inside
+            # the batch loop a wrong shape would make np.stack raise and
+            # fail every coalesced request, not just the offender
+            raise ValueError(
+                f"expected a ({s}, {s}, 3) image, got {image.shape}")
+        req = _Request(image)
         with self._submit_lock:
             if self._stop.is_set():
                 raise RuntimeError("batcher is closed")
+            if self._q.qsize() >= self.max_queue:
+                raise QueueFullError(
+                    f"request queue full ({self.max_queue} pending)")
             self._q.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError(f"inference did not finish in {timeout}s")
@@ -357,16 +410,23 @@ MAX_REQUEST_BYTES = 32 * 1024 * 1024
 
 def make_server(predictor: Predictor, host: str = "127.0.0.1",
                 port: int = 8000, max_batch: Optional[int] = None,
-                max_wait_ms: float = 5.0, quiet: bool = True):
+                max_wait_ms: float = 5.0, quiet: bool = True,
+                max_queue: Optional[int] = None,
+                submit_timeout: float = 30.0):
     """→ a ``ThreadingHTTPServer`` (``.batcher`` attached for shutdown).
 
     Routes: ``GET /healthz`` → model/device info; ``POST /predict`` with
-    raw image bytes → ``{"label", "label_name", "probs"}``.
+    raw image bytes → ``{"label", "label_name", "probs"}``. More than
+    ``max_queue`` pending requests → 429 (load shedding); a request older
+    than ``submit_timeout`` seconds → 503. Call ``predictor.warmup()``
+    before serving traffic (the CLI does), or raise ``submit_timeout``
+    past the first-request XLA compile time.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     batcher = Batcher(predictor, max_batch=max_batch,
-                      max_wait_ms=max_wait_ms)
+                      max_wait_ms=max_wait_ms, max_queue=max_queue,
+                      submit_timeout=submit_timeout)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *fmt_args):  # noqa: N802
@@ -415,6 +475,15 @@ def make_server(predictor: Predictor, host: str = "127.0.0.1",
                 return
             try:
                 result = batcher.submit(image)
+            except QueueFullError as e:
+                self.send_response(429)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except TimeoutError as e:
                 self._json(503, {"error": str(e)})
                 return
@@ -499,24 +568,33 @@ def predict_main(args) -> dict:
     predictor = Predictor.from_checkpoint(
         args.checkpoint_path, psp_weights=args.psp_weights,
         batch_size=args.batch_size, mesh=_mesh_from_flag(args.dp_devices))
-    labels, probs = predictor.predict_files(paths)
+    labels, probs, decode_ok = predictor.predict_files(
+        paths, return_decode_ok=True)
     top_k = max(1, args.top_k)
     predictions = []
-    for path, label, prob in zip(paths, labels, probs):
+    for path, label, prob, ok in zip(paths, labels, probs, decode_ok):
         order = np.argsort(prob)[::-1][:top_k]
         predictions.append({
             "path": path,
             "label": int(label),
             "label_name": _label_name(int(label)),
+            # False = the decoder black-filled this file (corrupt /
+            # unreadable): the prediction row is garbage, not a face
+            "decode_ok": bool(ok),
             "top_k": [{"label": int(j), "label_name": _label_name(int(j)),
                        "prob": float(prob[j])} for j in order],
         })
+    failures = [p for p, ok in zip(paths, decode_ok) if not ok]
     report = {
         "checkpoint": args.checkpoint_path,
         "model": predictor.describe(),
         "num_images": len(paths),
+        "decode_failures": failures,
         "predictions": predictions,
     }
+    if failures:
+        print(f"WARNING: {len(failures)} file(s) failed to decode "
+              f"(black-filled; see report['decode_failures'])")
     text = json.dumps(report, indent=2)
     if args.output:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
@@ -544,6 +622,12 @@ def build_serve_parser() -> argparse.ArgumentParser:
                         "(default: batch_size)")
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="batching window after the first queued request")
+    p.add_argument("--max_queue", type=int, default=None,
+                   help="pending-request bound before 429 load shedding "
+                        "(default: 8 * max_batch)")
+    p.add_argument("--submit_timeout", type=float, default=30.0,
+                   help="per-request wall-clock bound in seconds before "
+                        "a 503 is returned")
     _add_dp_flag(p)
     return p
 
@@ -556,7 +640,9 @@ def serve_main(args) -> None:
     predictor.warmup()
     server = make_server(predictor, host=args.host, port=args.port,
                          max_batch=args.max_batch,
-                         max_wait_ms=args.max_wait_ms, quiet=False)
+                         max_wait_ms=args.max_wait_ms, quiet=False,
+                         max_queue=args.max_queue,
+                         submit_timeout=args.submit_timeout)
     print(f"serving on http://{args.host}:{server.server_port} "
           f"(POST /predict, GET /healthz)")
     try:

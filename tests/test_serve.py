@@ -21,6 +21,7 @@ from fer_vit_tpu.models import LatentViT
 from fer_vit_tpu.serve import (
     Batcher,
     Predictor,
+    QueueFullError,
     _collect_inputs,
     build_predict_parser,
     make_server,
@@ -118,6 +119,48 @@ def test_predict_files_matches_array_predict(latent_predictor, tmp_path):
 
     empty_labels, empty_probs = latent_predictor.predict_files([])
     assert empty_labels.shape == (0,) and empty_probs.shape == (0, 7)
+
+
+def test_latent_route_rejects_input_size_mismatch(tiny_psp, tiny_model):
+    """ADVICE r3: a caller-supplied input_size != encoder input size would
+    silently double-resample (host decode to input_size, device resize to
+    enc.input_size) — it must be rejected instead."""
+    model, variables = tiny_model
+    with pytest.raises(ValueError, match="input_size"):
+        Predictor(model, variables, psp=tiny_psp, batch_size=4,
+                  input_size=64)
+    p = Predictor(model, variables, psp=tiny_psp, batch_size=4,
+                  input_size=32)  # matching value is fine
+    assert p.input_size == 32
+
+
+def test_predict_files_flags_decode_failures(latent_predictor, tmp_path):
+    """ADVICE r3: fervit-predict must not emit confident-looking garbage
+    for an undecodable file with no flag in the output."""
+    from PIL import Image
+
+    images = _images(3, seed=19)
+    paths = []
+    for i, img in enumerate(images):
+        p = str(tmp_path / f"ok_{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    bad = str(tmp_path / "bad.png")
+    with open(bad, "wb") as f:
+        f.write(b"definitely not a png")
+    paths.insert(1, bad)
+
+    labels, probs, ok = latent_predictor.predict_files(
+        paths, return_decode_ok=True)
+    assert labels.shape == (4,) and probs.shape == (4, 7)
+    assert ok.tolist() == [True, False, True, True]
+
+    # default 2-tuple API unchanged
+    labels2, probs2 = latent_predictor.predict_files(paths)
+    np.testing.assert_array_equal(labels, labels2)
+
+    out = latent_predictor.predict_files([], return_decode_ok=True)
+    assert len(out) == 3 and out[2].shape == (0,)
 
 
 # -- Predictor: checkpoint construction ----------------------------------------
@@ -260,6 +303,73 @@ def test_batcher_propagates_predictor_errors():
         batcher.submit(np.zeros((8, 8, 3), np.uint8))
 
 
+def test_batcher_rejects_bad_shape_individually():
+    """ADVICE r3: one malformed direct-API submit must not poison the
+    whole coalesced batch via np.stack."""
+    fake = _FakePredictor()
+    batcher = Batcher(fake, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="expected"):
+            batcher.submit(np.zeros((4, 4, 3), np.uint8))
+        assert not fake.calls  # rejected before it ever reached a batch
+        ok = batcher.submit(np.full((8, 8, 3), 2, np.uint8), timeout=10.0)
+        assert ok["label"] == 2
+    finally:
+        batcher.close()
+
+
+def test_batcher_submit_timeout_configurable():
+    """ADVICE r3: the per-request timeout is a constructor parameter (and
+    the default when submit() is called without one)."""
+    fake = _FakePredictor(delay=0.5)
+    batcher = Batcher(fake, max_batch=1, submit_timeout=0.05)
+    try:
+        assert batcher.submit_timeout == 0.05
+        with pytest.raises(TimeoutError):
+            batcher.submit(np.zeros((8, 8, 3), np.uint8))
+    finally:
+        batcher.close()
+
+
+def test_batcher_sheds_load_when_queue_full():
+    """VERDICT r3 #6: bounded pending queue — beyond max_queue, submit
+    raises QueueFullError instead of growing latency without bound."""
+    fake = _FakePredictor(delay=1.0)
+    batcher = Batcher(fake, max_batch=1, max_wait_ms=0.0, max_queue=2)
+    try:
+        results, errors = [], []
+
+        def call():
+            try:
+                results.append(batcher.submit(
+                    np.zeros((8, 8, 3), np.uint8), timeout=30.0))
+            except Exception as e:  # pragma: no cover - failure path
+                errors.append(e)
+
+        t0 = threading.Thread(target=call)
+        t0.start()
+        deadline = time.monotonic() + 10
+        while not fake.calls and time.monotonic() < deadline:
+            time.sleep(0.01)  # wait until the loop is inside predict()
+        assert fake.calls, "batcher loop never picked up the first request"
+
+        waiters = [threading.Thread(target=call) for _ in range(2)]
+        for t in waiters:
+            t.start()
+        deadline = time.monotonic() + 5
+        while batcher._q.qsize() < 2 and time.monotonic() < deadline:
+            time.sleep(0.01)  # both queued behind the in-flight request
+        with pytest.raises(QueueFullError):
+            batcher.submit(np.zeros((8, 8, 3), np.uint8), timeout=1.0)
+
+        t0.join(timeout=15)
+        for t in waiters:
+            t.join(timeout=15)
+        assert len(results) == 3 and not errors
+    finally:
+        batcher.close()
+
+
 # -- HTTP server -----------------------------------------------------------------
 
 
@@ -351,6 +461,99 @@ def test_server_error_routes(server):
     assert e.value.code == 413
 
 
+def test_server_sheds_load_with_429():
+    """VERDICT r3 #6: overload → 429 (with Retry-After), not unbounded
+    queueing; admitted requests still succeed."""
+    fake = _FakePredictor(delay=0.4)
+    srv = make_server(fake, host="127.0.0.1", port=0, max_batch=1,
+                      max_wait_ms=0.0, max_queue=1)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        assert srv.batcher.max_queue == 1  # plumbed through make_server
+        img = _png_bytes(np.zeros((8, 8, 3), np.uint8))
+        codes, lock = [], threading.Lock()
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.server_port}/predict", data=img)
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    code, retry = r.status, None
+            except urllib.error.HTTPError as e:
+                code, retry = e.code, e.headers.get("Retry-After")
+            with lock:
+                codes.append((code, retry))
+
+        clients = [threading.Thread(target=post) for _ in range(8)]
+        for t in clients:
+            t.start()
+        for t in clients:
+            t.join(timeout=90)
+        got = [c for c, _ in codes]
+        assert len(got) == 8
+        assert got.count(200) >= 1, codes
+        assert got.count(429) >= 1, codes  # load was actually shed
+        assert set(got) <= {200, 429}, codes
+        for code, retry in codes:
+            if code == 429:
+                assert retry == "1"
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+        srv.server_close()
+        thread.join(timeout=5)
+
+
+def test_server_submit_timeout_plumbed():
+    fake = _FakePredictor()
+    srv = make_server(fake, host="127.0.0.1", port=0, submit_timeout=12.5,
+                      max_queue=5)
+    try:
+        assert srv.batcher.submit_timeout == 12.5
+        assert srv.batcher.max_queue == 5
+    finally:
+        srv.batcher.close()
+        srv.server_close()
+
+
+def test_server_concurrent_latency_distribution(server, latent_predictor):
+    """VERDICT r3 #6: drive the server with concurrent clients and check
+    every request completes; the p50/p99 protocol here is the same one
+    scripts/measure_full_pipeline.py --serving-latency reports on TPU."""
+    latent_predictor.warmup()
+    images = _images(4, seed=23)
+    latencies, errors = [], []
+    lock = threading.Lock()
+
+    def client(i):
+        for j in range(2):
+            body = _png_bytes(images[(i + j) % 4])
+            req = urllib.request.Request(_url(server, "/predict"),
+                                         data=body)
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    json.loads(r.read())
+            except Exception as e:  # pragma: no cover - failure path
+                with lock:
+                    errors.append(e)
+                return
+            with lock:
+                latencies.append(time.perf_counter() - t0)
+
+    clients = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in clients:
+        t.start()
+    for t in clients:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert len(latencies) == 12
+    p50, p99 = np.percentile(latencies, [50, 99])
+    assert p99 < 120.0  # sanity; real numbers come from the TPU harness
+    assert p50 <= p99
+
+
 # -- CLI ---------------------------------------------------------------------------
 
 
@@ -370,6 +573,29 @@ def test_collect_inputs(tmp_path):
     assert [os.path.basename(p) for p in got2] == ["a.jpg", "b.png"]
     with pytest.raises(FileNotFoundError):
         _collect_inputs([str(tmp_path / "missing.png")])
+
+
+def test_predict_cli_reports_decode_failures(image_checkpoint, tmp_path):
+    """ADVICE r3: the prediction report flags undecodable files instead of
+    silently emitting a confident-looking row for a black-filled image."""
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(_images(1)[0]).save(str(img_dir / "good.png"))
+    (img_dir / "bad.png").write_bytes(b"nope")
+
+    out = tmp_path / "preds.json"
+    args = build_predict_parser().parse_args([
+        "--checkpoint_path", image_checkpoint,
+        "--input", str(img_dir), "--output", str(out), "--batch_size", "4",
+    ])
+    report = predict_main(args)
+    by_name = {os.path.basename(p["path"]): p for p in report["predictions"]}
+    assert by_name["good.png"]["decode_ok"] is True
+    assert by_name["bad.png"]["decode_ok"] is False
+    assert ([os.path.basename(p) for p in report["decode_failures"]]
+            == ["bad.png"])
 
 
 def test_predict_cli_image_route(image_checkpoint, tmp_path):
