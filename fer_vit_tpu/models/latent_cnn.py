@@ -15,8 +15,12 @@ TPU-native layout: convs run channels-last ((B, L, C) for 1-D,
 (B, H, W, C) for 2-D) — the reference transposes to torch's channels-first
 (latent_cnn.py:146); here the data stays in the layout XLA's TPU conv
 emitter wants. BatchNorm batch statistics live in the ``batch_stats``
-collection and are threaded explicitly through the train step (under DP the
-per-device stats are averaged by the same psum XLA inserts for gradients).
+collection and are threaded explicitly through the train step. Under DP the
+batch-axis reductions inside BN become cross-shard collectives under GSPMD,
+so the statistics are *globally* batched — proven (loss, params, and final
+batch_stats all equal single-device execution) by
+tests/test_multichip.py::test_dp_bn_batch_stats_match_single_device and
+exercised every round by ``__graft_entry__._dryrun_bn_model``.
 """
 
 from __future__ import annotations
