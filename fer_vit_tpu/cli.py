@@ -96,3 +96,7 @@ def serve():
 
     _serve.serve_main(_serve.build_serve_parser().parse_args())
     return None
+
+
+def pack_images():
+    return _run("fer_vit_tpu.data.image_packs")

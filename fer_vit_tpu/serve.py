@@ -251,6 +251,35 @@ class Predictor:
             return out + (np.concatenate(ok_out),)
         return out
 
+    def predict_packed(self, pack_dir: str,
+                       prefetch: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+        """Predict from a pre-decoded uint8 image pack
+        (:mod:`fer_vit_tpu.data.image_packs` — written once by
+        ``fervit-pack-images``). This is the JPEG-free serving input
+        path: batch assembly is a memory copy, so one feeder core
+        sustains many chips where raw JPEG decode sustains ~1.5
+        (feed-budget table: docs/SERVING.md)."""
+        from fer_vit_tpu.data.image_packs import (iter_packed_batches,
+                                                  read_manifest)
+
+        manifest = read_manifest(pack_dir)
+        if manifest["size"] != self.input_size:
+            raise ValueError(
+                f"pack decoded at {manifest['size']}px but this predictor "
+                f"expects {self.input_size}px — repack with "
+                f"--size {self.input_size}")
+        labels_out: List[np.ndarray] = []
+        probs_out: List[np.ndarray] = []
+        for imgs, k in iter_packed_batches(pack_dir, self.batch_size,
+                                           prefetch=prefetch):
+            labels, probs = self._fn(*self._fn_args, self._put(imgs))
+            labels_out.append(np.asarray(labels[:k]))
+            probs_out.append(np.asarray(probs[:k], np.float32))
+        if not labels_out:
+            return (np.zeros((0,), np.int32),
+                    np.zeros((0, self.num_classes), np.float32))
+        return np.concatenate(labels_out), np.concatenate(probs_out)
+
     def warmup(self) -> None:
         """Compile the pipeline before serving traffic."""
         self.predict(np.zeros(
@@ -529,8 +558,12 @@ def build_predict_parser() -> argparse.ArgumentParser:
         description="Offline batch FER prediction over image files")
     p.add_argument("--checkpoint_path", required=True,
                    help="FER checkpoint (ours or reference-format torch)")
-    p.add_argument("--input", required=True, nargs="+",
+    p.add_argument("--input", default=None, nargs="+",
                    help="image files and/or directories (recursive)")
+    p.add_argument("--packed", default=None,
+                   help="pre-decoded uint8 image pack directory "
+                        "(fervit-pack-images) — the JPEG-free input path; "
+                        "mutually exclusive with --input")
     p.add_argument("--output", default=None,
                    help="write predictions JSON here (default: stdout)")
     p.add_argument("--psp_weights", default=None,
@@ -562,14 +595,24 @@ def _mesh_from_flag(dp_devices: int):
 
 
 def predict_main(args) -> dict:
-    paths = _collect_inputs(args.input)
-    if not paths:
-        raise SystemExit("no images found under --input")
+    if (args.input is None) == (getattr(args, "packed", None) is None):
+        raise SystemExit("pass exactly one of --input or --packed")
     predictor = Predictor.from_checkpoint(
         args.checkpoint_path, psp_weights=args.psp_weights,
         batch_size=args.batch_size, mesh=_mesh_from_flag(args.dp_devices))
-    labels, probs, decode_ok = predictor.predict_files(
-        paths, return_decode_ok=True)
+    if args.packed is not None:
+        from fer_vit_tpu.data.image_packs import read_manifest
+
+        manifest = read_manifest(args.packed)
+        paths = manifest["paths"]
+        decode_ok = np.asarray(manifest["decode_ok"], bool)
+        labels, probs = predictor.predict_packed(args.packed)
+    else:
+        paths = _collect_inputs(args.input)
+        if not paths:
+            raise SystemExit("no images found under --input")
+        labels, probs, decode_ok = predictor.predict_files(
+            paths, return_decode_ok=True)
     top_k = max(1, args.top_k)
     predictions = []
     for path, label, prob, ok in zip(paths, labels, probs, decode_ok):

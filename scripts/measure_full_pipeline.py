@@ -207,6 +207,46 @@ def main(args) -> None:
                   "shards across hosts; the device side is the "
                   "per-chip ceiling")
 
+        # The JPEG-free route (VERDICT r3 #1): pre-decoded uint8 packs
+        # (fervit-pack-images → Predictor.predict_packed). Feed becomes a
+        # memory copy, so one feeder core can sustain a multi-chip slice.
+        import math
+
+        from fer_vit_tpu.data.image_packs import (iter_packed_batches,
+                                                  write_image_pack)
+
+        td2 = tempfile.mkdtemp(prefix="fervit_packfeed_")
+        try:
+            rng3 = np.random.default_rng(11)
+            from PIL import Image as _Image
+
+            psrc = []
+            for i in range(min(n, 512)):
+                p = os.path.join(td2, f"{i:05d}.jpg")
+                _Image.fromarray(rng3.integers(
+                    0, 256, size=(256, 256, 3), dtype=np.uint8)).save(
+                        p, quality=90)
+                psrc.append(p)
+            pack = os.path.join(td2, "pack")
+            write_image_pack(psrc, pack, size=256)
+            total = sum(k for _, k in iter_packed_batches(pack, 256))  # warm
+            t0 = time.perf_counter()
+            sink = 0
+            for imgs, k in iter_packed_batches(pack, 256):
+                sink += int(imgs[0, 0, 0, 0])
+            packed_ips = total / (time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(td2, ignore_errors=True)
+        print(f"packed-uint8 feed (fervit-pack-images route): "
+              f"{packed_ips:.0f} images/sec")
+        for n_chips in (8,):
+            need = n_chips * ips
+            jpeg_hosts = math.ceil(need / decode_ips)
+            print(f"feed budget for a {n_chips}-chip slice "
+                  f"(needs {need:.0f} img/s): raw JPEG ≈ {jpeg_hosts} "
+                  f"host-core(s) of this class; packed route sustains "
+                  f"{packed_ips / ips:.1f} chips from one feeder core")
+
     if args.profile_dir:
         print(f"\nCapturing profiler trace to {args.profile_dir} ...")
         with jax.profiler.trace(args.profile_dir):

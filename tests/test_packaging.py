@@ -64,7 +64,7 @@ def test_console_entry_points_exist(installed):
         "fervit-evaluate-model", "fervit-evaluate-image-vit",
         "fervit-generate-latents", "fervit-compute-expression-direction",
         "fervit-export-torch-checkpoint",
-        "fervit-predict", "fervit-serve",
+        "fervit-predict", "fervit-serve", "fervit-pack-images",
     }
     assert expected <= set(os.listdir(bin_dir))
 

@@ -163,6 +163,36 @@ def test_predict_files_flags_decode_failures(latent_predictor, tmp_path):
     assert len(out) == 3 and out[2].shape == (0,)
 
 
+def test_predict_packed_matches_array_predict(latent_predictor, tmp_path):
+    """The JPEG-free packed input path (VERDICT r3 #1) must reproduce the
+    array route exactly (PNG→pack roundtrip at native size is lossless),
+    including the padded final batch, and must reject a size mismatch."""
+    from PIL import Image
+
+    from fer_vit_tpu.data.image_packs import write_image_pack
+
+    images = _images(6, seed=29)
+    src = tmp_path / "src"
+    src.mkdir()
+    paths = []
+    for i, img in enumerate(images):
+        p = str(src / f"{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    pack = str(tmp_path / "pack")
+    write_image_pack(paths, pack, size=32, shard_size=4)
+
+    labels_p, probs_p = latent_predictor.predict_packed(pack)
+    labels_a, probs_a = latent_predictor.predict(images)
+    np.testing.assert_array_equal(labels_p, labels_a)
+    np.testing.assert_allclose(probs_p, probs_a, atol=2e-5)
+
+    bad = str(tmp_path / "pack64")
+    write_image_pack(paths, bad, size=64)
+    with pytest.raises(ValueError, match="repack"):
+        latent_predictor.predict_packed(bad)
+
+
 # -- Predictor: checkpoint construction ----------------------------------------
 
 
@@ -596,6 +626,48 @@ def test_predict_cli_reports_decode_failures(image_checkpoint, tmp_path):
     assert by_name["bad.png"]["decode_ok"] is False
     assert ([os.path.basename(p) for p in report["decode_failures"]]
             == ["bad.png"])
+
+
+def test_predict_cli_packed_route(image_checkpoint, tmp_path):
+    """fervit-predict --packed must give the same report rows as --input
+    over the same files (PNG/pack roundtrip is lossless)."""
+    from PIL import Image
+
+    from fer_vit_tpu.data.image_packs import write_image_pack
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images = _images(5, seed=31)
+    paths = []
+    for i, img in enumerate(images):
+        p = str(img_dir / f"{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    pack = str(tmp_path / "pack")
+    write_image_pack(paths, pack, size=32)
+
+    args_files = build_predict_parser().parse_args([
+        "--checkpoint_path", image_checkpoint,
+        "--input", str(img_dir), "--batch_size", "4",
+        "--output", str(tmp_path / "a.json")])
+    args_packed = build_predict_parser().parse_args([
+        "--checkpoint_path", image_checkpoint,
+        "--packed", pack, "--batch_size", "4",
+        "--output", str(tmp_path / "b.json")])
+    rep_files = predict_main(args_files)
+    rep_packed = predict_main(args_packed)
+    assert ([p["label"] for p in rep_packed["predictions"]]
+            == [p["label"] for p in rep_files["predictions"]])
+    assert all(p["decode_ok"] for p in rep_packed["predictions"])
+
+    # exactly one of --input / --packed
+    with pytest.raises(SystemExit, match="exactly one"):
+        predict_main(build_predict_parser().parse_args(
+            ["--checkpoint_path", image_checkpoint]))
+    with pytest.raises(SystemExit, match="exactly one"):
+        predict_main(build_predict_parser().parse_args(
+            ["--checkpoint_path", image_checkpoint,
+             "--input", str(img_dir), "--packed", pack]))
 
 
 def test_predict_cli_image_route(image_checkpoint, tmp_path):
