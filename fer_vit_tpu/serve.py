@@ -521,7 +521,14 @@ def make_server(predictor: Predictor, host: str = "127.0.0.1",
                 return
             self._json(200, result)
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    # stdlib default listen backlog is 5: a 32-client burst overflows the
+    # accept queue and clients see ECONNRESET before the batcher can even
+    # shed load (observed under the concurrent-latency harness) — raise it
+    # past max_queue so backpressure is the 429 path, not kernel drops
+    class _Server(ThreadingHTTPServer):
+        request_queue_size = max(128, batcher.max_queue + batcher.max_batch)
+
+    server = _Server((host, port), Handler)
     server.batcher = batcher
     return server
 
