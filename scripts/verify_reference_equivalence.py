@@ -78,6 +78,15 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 REFERENCE_ROOT = os.environ.get("FERVIT_REFERENCE_ROOT", "/root/reference")
 
+# The comparison design is CPU-vs-CPU at HIGHEST matmul precision: the
+# torch oracle runs on CPU, so the jax side must too — on the TPU the
+# in-process parts pick up ~4e-5 step-loss noise (bf16-adjacent non-matmul
+# ops) and blow the 1e-5 val-loss gate that was calibrated on CPU. Force
+# it here so the harness is env-proof (the shell default is the axon TPU).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 # -- Part A: step-level equivalence ------------------------------------------
 
