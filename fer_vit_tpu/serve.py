@@ -481,6 +481,9 @@ def make_server(predictor: Predictor, host: str = "127.0.0.1",
                 self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):  # noqa: N802
+            if self.path == "/predict_batch":
+                self._predict_batch()
+                return
             if self.path != "/predict":
                 self._json(404, {"error": f"no route {self.path}"})
                 return
@@ -520,6 +523,44 @@ def make_server(predictor: Predictor, host: str = "127.0.0.1",
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             self._json(200, result)
+
+        def _predict_batch(self) -> None:
+            """Bulk route: one ``.npy`` payload of (N, H, W, 3) uint8 →
+            one device call → a JSON list. Per-image HTTP pays one
+            host↔device round-trip per coalesced batch (~0.7 s through
+            this image's TPU tunnel — SERVING_LATENCY.json), so bulk
+            clients should ship whole arrays instead."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                length = 0
+            if length <= 0 or length > MAX_REQUEST_BYTES:
+                self._json(400 if length <= 0 else 413,
+                           {"error": f"bad Content-Length {length} "
+                                     f"(max {MAX_REQUEST_BYTES})"})
+                return
+            try:
+                images = np.load(io.BytesIO(self.rfile.read(length)),
+                                 allow_pickle=False)
+            except Exception as e:
+                self._json(400, {"error": f"not a .npy payload: {e}"})
+                return
+            s = predictor.input_size
+            if (images.ndim != 4 or images.shape[1:] != (s, s, 3)
+                    or images.dtype != np.uint8):
+                self._json(400, {"error": (
+                    f"expected uint8 (N, {s}, {s}, 3), got "
+                    f"{images.dtype} {images.shape}")})
+                return
+            try:
+                labels, probs = predictor.predict(images)
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._json(200, {"predictions": [
+                {"label": int(l), "label_name": _label_name(int(l)),
+                 "probs": [float(p) for p in pr]}
+                for l, pr in zip(labels, probs)]})
 
     # stdlib default listen backlog is 5: a 32-client burst overflows the
     # accept queue and clients see ECONNRESET before the batcher can even

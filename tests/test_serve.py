@@ -491,6 +491,39 @@ def test_server_error_routes(server):
     assert e.value.code == 413
 
 
+def test_server_predict_batch_route(server, latent_predictor):
+    """POST /predict_batch with one .npy payload == one device call ==
+    predictor.predict on the same array; malformed payloads get 400."""
+    images = _images(5, seed=37)
+    expected_labels, expected_probs = latent_predictor.predict(images)
+
+    buf = io.BytesIO()
+    np.save(buf, images)
+    req = urllib.request.Request(_url(server, "/predict_batch"),
+                                 data=buf.getvalue())
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    preds = body["predictions"]
+    assert [p["label"] for p in preds] == [int(l) for l in expected_labels]
+    np.testing.assert_allclose(
+        np.asarray([p["probs"] for p in preds]), expected_probs, atol=1e-4)
+
+    # wrong shape → 400 (not a poisoned batch)
+    buf = io.BytesIO()
+    np.save(buf, _images(2, size=16))
+    req = urllib.request.Request(_url(server, "/predict_batch"),
+                                 data=buf.getvalue())
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # not npy → 400
+    req = urllib.request.Request(_url(server, "/predict_batch"),
+                                 data=b"garbage")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
 def test_server_sheds_load_with_429():
     """VERDICT r3 #6: overload → 429 (with Retry-After), not unbounded
     queueing; admitted requests still succeed."""
