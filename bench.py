@@ -20,6 +20,7 @@ vs_baseline is value / 5000 img/s/chip — the BASELINE.md rebuild target.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -38,12 +39,21 @@ BASELINE_TARGET_IPS = 5000.0  # BASELINE.md rebuild target, images/sec/chip
 # 1024 → OOM); keep in sync with the warmed compilation cache.
 BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+# Per-jit XLA compiler options (JSON dict, e.g.
+# '{"xla_tpu_scoped_vmem_limit_kib": "65536"}'). This is the ONLY channel
+# that reaches the remote TPU compiler through the axon tunnel: XLA_FLAGS
+# is parsed by the CLIENT-side XLA build (parse_flags_from_env), which
+# aborts on TPU-only flags. compiler_options ride the PJRT compile request
+# and are validated remotely (bogus names → remote_compile HTTP 500).
+# Used by scripts/xla_flag_sweep.py.
+COMPILER_OPTIONS = (json.loads(os.environ["BENCH_COMPILER_OPTIONS"])
+                    if os.environ.get("BENCH_COMPILER_OPTIONS") else None)
 
 
 def _time_scan(pipeline_step, args, n_iters: int) -> float:
     """Build scan(pipeline_step) inside jit, warm it, return secs/iter."""
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=COMPILER_OPTIONS)
     def run(*args):
         def body(carry, _):
             return pipeline_step(carry, *args), ()
