@@ -45,15 +45,22 @@ ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 # is parsed by the CLIENT-side XLA build (parse_flags_from_env), which
 # aborts on TPU-only flags. compiler_options ride the PJRT compile request
 # and are validated remotely (bogus names → remote_compile HTTP 500).
-# Used by scripts/xla_flag_sweep.py.
-COMPILER_OPTIONS = (json.loads(os.environ["BENCH_COMPILER_OPTIONS"])
-                    if os.environ.get("BENCH_COMPILER_OPTIONS") else None)
+# Used by scripts/xla_flag_sweep.py; '{}' disables the tuned default.
+# Default (no env var): the measured sweep winner on TPU backends —
+# xla_tpu_scoped_vmem_limit_kib=65536, +3.7% end-to-end (XLA_SWEEP.json);
+# None elsewhere (CPU rejects TPU-only option names).
+
+
+def _compiler_options():
+    from fer_vit_tpu.utils.compile_opts import resolve_compiler_options
+
+    return resolve_compiler_options(env_var="BENCH_COMPILER_OPTIONS")
 
 
 def _time_scan(pipeline_step, args, n_iters: int) -> float:
     """Build scan(pipeline_step) inside jit, warm it, return secs/iter."""
 
-    @functools.partial(jax.jit, compiler_options=COMPILER_OPTIONS)
+    @functools.partial(jax.jit, compiler_options=_compiler_options())
     def run(*args):
         def body(carry, _):
             return pipeline_step(carry, *args), ()

@@ -23,6 +23,10 @@ turns the compiled pipelines into a deployable inference surface:
   batching: concurrent ``POST /predict`` requests are coalesced (up to
   ``--max_batch`` / ``--max_wait_ms``) onto the static-shape compiled
   function, so independent clients still feed the MXU full batches.
+
+On TPU backends the hot jits compile with the tuned compiler options
+(measured +3.7 % end-to-end — ``fer_vit_tpu.utils.compile_opts``);
+override or disable with the ``FERVIT_COMPILER_OPTIONS`` env var.
 """
 
 from __future__ import annotations
@@ -41,6 +45,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from fer_vit_tpu import EMOTION_NAMES
+from fer_vit_tpu.utils.compile_opts import (
+    resolve_compiler_options as _compiler_options,
+)
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
@@ -97,7 +104,7 @@ class Predictor:
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 return jnp.argmax(logits, axis=-1), probs
 
-            self._fn = jax.jit(fn)
+            self._fn = jax.jit(fn, compiler_options=_compiler_options())
             self._fn_args = (variables,)
         else:
             if psp is None:
@@ -126,7 +133,7 @@ class Predictor:
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 return jnp.argmax(logits, axis=-1), probs
 
-            self._fn = jax.jit(fn)
+            self._fn = jax.jit(fn, compiler_options=_compiler_options())
             self._fn_args = (psp.variables, variables)
         self.input_size = size
         if mesh is not None:

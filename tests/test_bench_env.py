@@ -23,7 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DRIVE = """
 import bench, jax.numpy as jnp
-print("OPTS=" + repr(bench.COMPILER_OPTIONS))
+print("OPTS=" + repr(bench._compiler_options()))
 s = bench._time_scan(lambda c, x: c + jnp.sum(x) * 0.0, (jnp.ones((4, 4)),), 3)
 assert s > 0
 print("TIMED_OK")
