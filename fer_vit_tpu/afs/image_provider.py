@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fer_vit_tpu.encoders.stylegan2 import Generator, face_pool
+from fer_vit_tpu.utils.compile_opts import tuned_jit
 
 
 class ImageProvider(abc.ABC):
@@ -38,7 +39,7 @@ class GeneratedImageProvider(ImageProvider):
         self.generator = generator
         self.variables = variables
 
-        @jax.jit
+        @tuned_jit
         def _decode(variables, w):
             img, _ = generator.apply(variables, [w], input_is_latent=True,
                                      randomize_noise=False)

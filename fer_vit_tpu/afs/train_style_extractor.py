@@ -40,6 +40,7 @@ from fer_vit_tpu.afs.losses import AFSLoss
 from fer_vit_tpu.afs.pair_sampling import PairLatentStore, sample_pair_indices
 from fer_vit_tpu.afs.style_extractor import StyleExtractor
 from fer_vit_tpu.encoders.stylegan2 import Generator, face_pool
+from fer_vit_tpu.utils.compile_opts import tuned_jit
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -159,7 +160,7 @@ def make_train_step(h: StyleExtractor, gen: Generator, gen_vars,
         loss, metrics = criterion(img_gen, src, tgt, w_sty_new, w_sty_tgt)
         return loss, metrics
 
-    return jax.jit(step), jax.jit(eval_step)
+    return tuned_jit(step), tuned_jit(eval_step)
 
 
 def run_epoch(jit_step, params, batch_stats, opt_state, lr, pair_store,

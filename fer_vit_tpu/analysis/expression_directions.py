@@ -35,6 +35,7 @@ import optax
 
 from fer_vit_tpu import EMOTION_NAMES, NUM_CLASSES
 from fer_vit_tpu.data.latent_store import LatentStore
+from fer_vit_tpu.utils.compile_opts import tuned_jit
 
 
 def _svm_train_vmapped(
@@ -67,7 +68,7 @@ def _svm_train_vmapped(
     tx = optax.adam(optax.cosine_decay_schedule(lr, steps))
     opt_state = tx.init(params)
 
-    @jax.jit
+    @tuned_jit
     def run(params, opt_state):
         def body(carry, _):
             params, opt_state = carry

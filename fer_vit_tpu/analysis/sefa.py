@@ -20,6 +20,7 @@ from typing import Callable, Dict, List, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from fer_vit_tpu.utils.compile_opts import tuned_jit
 
 DEFAULT_STEPS = (-3.0, -1.5, 0.0, 1.5, 3.0)
 
@@ -97,7 +98,7 @@ def verify_non_expression_directions(
     n, l, dim = w.shape
     k, s = d.shape[0], steps.shape[0]
 
-    @jax.jit
+    @tuned_jit
     def run(w, d, steps):
         base_pred = jnp.argmax(fer_apply(w), axis=-1)  # (N,)
         # perturbations: (K, S, N, L, D) in one broadcast

@@ -17,6 +17,7 @@ import numpy as np
 
 from fer_vit_tpu import EMOTION_NAMES
 from fer_vit_tpu.data.image_pipeline import IMAGE_EXTS as _IMG_EXTS
+from fer_vit_tpu.utils.compile_opts import tuned_jit
 
 
 def analyze_fer2013_dataset(root_dir: str,
@@ -124,7 +125,7 @@ def create_fer2013_inference_function(
         variables = {**variables, "params": serialization.from_state_dict(
             variables["params"], params)}
 
-    @jax.jit
+    @tuned_jit
     def forward(variables, x):
         logits = model.apply(variables, x)
         return jax.nn.softmax(logits, axis=-1)

@@ -40,6 +40,7 @@ import numpy as np
 from flax import linen as nn
 
 from fer_vit_tpu.encoders.irse import IRSEBackbone, IR_SE_50_PLAN
+from fer_vit_tpu.utils.compile_opts import tuned_jit
 
 
 class EqualLinear(nn.Module):
@@ -347,7 +348,7 @@ class EncoderWrapper:
                     fold_bn1=getattr(self.encoder, "fold_bn1", False))
         self.variables = variables
 
-        @jax.jit
+        @tuned_jit
         def _encode(variables, images):
             x = preprocess_images(images, size=self.encoder.input_size)
             return self.encoder.apply(variables, x)

@@ -19,6 +19,7 @@ from fer_vit_tpu.data.image_pipeline import ImageStore, normalize_images
 from fer_vit_tpu.eval.evaluate_model import _plots
 from fer_vit_tpu.models import ImageViT
 from fer_vit_tpu.models.timm_vit import create_timm_vit
+from fer_vit_tpu.utils.compile_opts import tuned_jit
 from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
 from fer_vit_tpu.utils.metrics import (
     classification_report,
@@ -147,7 +148,7 @@ def main(args) -> dict:
         img_size = args.img_size
     store = ImageStore.load(args.test_dir, img_size)
 
-    apply = jax.jit(lambda v, x: model.apply(v, normalize_images(x)))
+    apply = tuned_jit(lambda v, x: model.apply(v, normalize_images(x)))
     preds, probs = [], []
     for i in range(0, len(store), args.batch_size):
         logits = apply(variables, jnp.asarray(store.images[i:i + args.batch_size]))

@@ -31,6 +31,7 @@ from fer_vit_tpu.models import (
     create_hybrid_latent_vit,
     create_latent_cnn,
 )
+from fer_vit_tpu.utils.compile_opts import tuned_jit
 from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
 from fer_vit_tpu.utils.metrics import (
     classification_report,
@@ -216,7 +217,7 @@ def load_model(checkpoint_path: str, with_meta: bool = False):
 
 def evaluate(model, variables, store: LatentStore, batch_size: int = 32):
     """→ (predictions, probabilities, confusion_matrix)."""
-    apply = jax.jit(lambda v, x: model.apply(v, x))
+    apply = tuned_jit(lambda v, x: model.apply(v, x))
     preds, probs = [], []
     for i in range(0, len(store), batch_size):
         logits = apply(variables, jnp.asarray(store.latents[i:i + batch_size]))

@@ -9,7 +9,6 @@ confusion matrix + summary JSON.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
@@ -21,9 +20,10 @@ from fer_vit_tpu.train.harness import Harness, TrainState
 from fer_vit_tpu.train.schedulers import make_scheduler
 from fer_vit_tpu.utils.experiment_logger import ExperimentLogger
 from fer_vit_tpu.utils.metrics import classification_report, metrics_from_confusion
+from fer_vit_tpu.utils.compile_opts import tuned_jit
 
 
-@partial(jax.jit, static_argnums=0)
+@tuned_jit(static_argnums=0)
 def _grad_snapshot(harness, state, xb, yb, class_weights):
     """Gradients of the plain CE loss on one batch — for the every-10-epoch
     gradient histograms (reference: train/train_latent_vit.py:342-344)."""

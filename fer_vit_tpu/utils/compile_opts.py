@@ -29,6 +29,7 @@ tuned default outright).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Optional
@@ -71,3 +72,44 @@ def resolve_compiler_options(env_var: str = ENV_VAR) -> Optional[dict]:
                 f"{type(opts).__name__}: {raw!r}")
         return opts or None
     return tuned_tpu_options()
+
+
+def tuned_jit(fun=None, **jit_kwargs):
+    """``jax.jit`` with the tuned compiler options, resolved LAZILY.
+
+    Drop-in for the hot-path jits (train/eval epoch scans, the pSp
+    encode, trainer steps): the underlying ``jax.jit`` is built on the
+    FIRST CALL, not at decoration time, because
+    :func:`resolve_compiler_options` touches ``jax.devices()`` — doing
+    that at import would initialize the backend (and, through a downed
+    TPU tunnel, hang) for processes that never compile anything.
+
+    The wrapper is a plain function, so it binds as a method exactly like
+    the ``partial(jax.jit, static_argnums=0)`` decorators it replaces.
+    The built jit is cached per (default-device platform, env override),
+    so one process that runs the same function on CPU (oracle) and TPU
+    (measurement) — or flips ``FERVIT_COMPILER_OPTIONS`` between runs —
+    gets the right options on each, while repeat calls keep hitting one
+    jit's trace cache.
+    """
+    if fun is None:
+        return lambda f: tuned_jit(f, **jit_kwargs)
+
+    cache: dict = {}
+
+    @functools.wraps(fun)
+    def wrapper(*args, **kwargs):
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = None
+        key = (platform, os.environ.get(ENV_VAR))
+        jitted = cache.get(key)
+        if jitted is None:
+            jitted = cache[key] = jax.jit(
+                fun, compiler_options=resolve_compiler_options(),
+                **jit_kwargs)
+        return jitted(*args, **kwargs)
+
+    wrapper._fervit_tuned_jit = True  # introspected by the contract tests
+    return wrapper

@@ -56,6 +56,75 @@ def test_tuned_options_are_xla_typed():
             int(val)  # decimal string
 
 
+def test_tuned_jit_decorator_forms_and_correctness(monkeypatch):
+    # tuned_jit must work bare, as a factory with jit kwargs, and bound
+    # as a method — the three forms used across the hot paths.
+    import jax.numpy as jnp
+
+    from fer_vit_tpu.utils.compile_opts import tuned_jit
+
+    monkeypatch.delenv("FERVIT_COMPILER_OPTIONS", raising=False)
+
+    @tuned_jit
+    def double(x):
+        return 2 * x
+
+    assert double._fervit_tuned_jit
+    assert float(double(jnp.float32(3.0))) == 6.0
+
+    class Obj:
+        scale = 5
+
+        @tuned_jit(static_argnums=0)
+        def mul(self, x):
+            return self.scale * x
+
+    assert Obj.mul._fervit_tuned_jit
+    assert float(Obj().mul(jnp.float32(2.0))) == 10.0
+
+
+def test_tuned_jit_rebuilds_on_env_change(monkeypatch):
+    # flipping FERVIT_COMPILER_OPTIONS between calls must produce a
+    # fresh jit (per-(platform, env) cache), not reuse stale options.
+    import jax
+    import jax.numpy as jnp
+
+    import fer_vit_tpu.utils.compile_opts as mod
+
+    built = []
+    real_jit = jax.jit
+
+    def spy(fun, **kw):
+        built.append(kw.get("compiler_options"))
+        return real_jit(fun, **{k: v for k, v in kw.items()
+                                if k != "compiler_options"})
+
+    monkeypatch.setattr(mod.jax, "jit", spy)
+    monkeypatch.delenv("FERVIT_COMPILER_OPTIONS", raising=False)
+
+    f = mod.tuned_jit(lambda x: x + 1)
+    f(jnp.float32(0.0))
+    f(jnp.float32(0.0))  # same key → cached, no rebuild
+    assert len(built) == 1 and built[0] is None  # CPU → no tuned default
+
+    monkeypatch.setenv("FERVIT_COMPILER_OPTIONS",
+                       '{"xla_llvm_disable_expensive_passes": false}')
+    f(jnp.float32(0.0))
+    assert len(built) == 2
+    assert built[1] == {"xla_llvm_disable_expensive_passes": False}
+
+
+def test_hot_paths_use_tuned_jit():
+    # every hot compile site must carry the tuned options; introspect the
+    # marker rather than trusting the rollout by hand.
+    from fer_vit_tpu.train import loop as loop_mod
+    from fer_vit_tpu.train.harness import Harness
+
+    assert getattr(Harness.train_epoch, "_fervit_tuned_jit", False)
+    assert getattr(Harness.eval_epoch, "_fervit_tuned_jit", False)
+    assert getattr(loop_mod._grad_snapshot, "_fervit_tuned_jit", False)
+
+
 def test_predictor_jits_with_resolved_options(monkeypatch):
     # the serving hot path must consult the resolver at construction
     import fer_vit_tpu.serve as serve_mod
