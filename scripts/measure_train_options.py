@@ -1,0 +1,113 @@
+"""A/B the tuned compiler options on the TRAINING path (TPU).
+
+The round-4 sweep tuned ``xla_tpu_scoped_vmem_limit_kib=65536`` on the
+*inference* headline (pSp trunk — XLA_SWEEP.json, +3.7 % end-to-end).
+``tuned_jit`` now applies it to every hot compile, including the
+trainers' whole-epoch ``lax.scan`` jits — a different program class, so
+the default must be measured there too, not assumed transferable.
+
+Protocol (tunnel-safe, per CLAUDE.md): a Harness ``train_epoch`` is
+already ONE jitted call scanning every step of the epoch and returning
+a scalar loss, so wall-clock around that single dispatch+fetch is the
+sanctioned "N iterations inside one jit" shape. The env flip works
+in-process because ``tuned_jit`` caches the built jit per
+(platform, FERVIT_COMPILER_OPTIONS) — setting the env var forces a
+fresh build with the other options.
+
+Writes TRAIN_OPTIONS.json. Run on an idle machine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = int(os.environ.get("TRAINOPT_N", str(512 * 256)))  # samples/epoch
+BATCH = int(os.environ.get("TRAINOPT_BATCH", "512"))
+REPS = int(os.environ.get("TRAINOPT_REPS", "5"))
+OUT = os.path.join(os.path.dirname(__file__), "..", "TRAIN_OPTIONS.json")
+
+VARIANTS = {
+    # resolver default on TPU = the tuned 64 MiB scoped-VMEM budget
+    "tuned_default": None,
+    "compiler_default": "{}",
+}
+
+
+def main() -> None:
+    from fer_vit_tpu.models import LatentViT
+    from fer_vit_tpu.train.harness import Harness, TrainConfig
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})")
+
+    # The flagship trainer's measured-baseline config (d2 h8 bs512 here —
+    # batch raised from the reference's 64 to keep the chip fed; both
+    # arms see identical shapes so the comparison is internal).
+    model = LatentViT(depth=2, heads=8)
+    cfg = TrainConfig(batch_size=BATCH, mixup=1.0, label_smoothing=0.1)
+    harness = Harness(model=model, cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    data_x = jax.device_put(
+        rng.normal(size=(N, 18, 512)).astype(np.float32), dev)
+    data_y = jax.device_put((np.arange(N) % 7).astype(np.int32), dev)
+    cw = jnp.ones(7, jnp.float32)
+    lr = jnp.float32(1e-4)
+    jax.block_until_ready(data_x)
+
+    results = {}
+    for name, env in VARIANTS.items():
+        if env is None:
+            os.environ.pop("FERVIT_COMPILER_OPTIONS", None)
+        else:
+            os.environ["FERVIT_COMPILER_OPTIONS"] = env
+
+        # fresh state per variant: train_epoch donates it (donate_argnums=1)
+        state = harness.init_state(jax.random.key(0), jnp.zeros((1, 18, 512)))
+        # first call: fresh build (env key) + compile + one epoch
+        state, loss, _ = harness.train_epoch(
+            state, jax.random.key(1), data_x, data_y, lr, cw)
+        _ = float(loss)
+
+        times = []
+        for rep in range(REPS):
+            t0 = time.perf_counter()
+            state, loss, _ = harness.train_epoch(
+                state, jax.random.key(2 + rep), data_x, data_y, lr, cw)
+            _ = float(loss)  # fetch the scalar → full epoch synced
+            times.append(time.perf_counter() - t0)
+        med = statistics.median(times)
+        results[name] = {
+            "epoch_seconds_median": round(med, 4),
+            "epoch_seconds_all": [round(t, 4) for t in times],
+            "img_per_sec": round(N / med, 1),
+            "final_loss": float(loss),
+        }
+        print(f"{name}: {med:.3f} s/epoch  "
+              f"({N / med:,.0f} img/s)  loss={float(loss):.4f}")
+
+    os.environ.pop("FERVIT_COMPILER_OPTIONS", None)
+    ratio = (results["compiler_default"]["epoch_seconds_median"]
+             / results["tuned_default"]["epoch_seconds_median"])
+    report = {
+        "protocol": f"LatentViT d2 h8 train_epoch (one jitted scan over "
+                    f"{N // BATCH} steps of batch {BATCH}), median of "
+                    f"{REPS} epochs, fetch-scalar sync",
+        "device": dev.device_kind,
+        "variants": results,
+        "tuned_speedup_vs_default": round(ratio, 4),
+    }
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"tuned_speedup_vs_default": round(ratio, 4)}))
+
+
+if __name__ == "__main__":
+    main()
