@@ -160,7 +160,8 @@ def make_train_step(h: StyleExtractor, gen: Generator, gen_vars,
         loss, metrics = criterion(img_gen, src, tgt, w_sty_new, w_sty_tgt)
         return loss, metrics
 
-    return tuned_jit(step), tuned_jit(eval_step)
+    return (tuned_jit(step, program_class="train"),
+            tuned_jit(eval_step, program_class="train"))
 
 
 def run_epoch(jit_step, params, batch_stats, opt_state, lr, pair_store,

@@ -17,7 +17,17 @@ image):
   ``--per_image_pt`` emits reference-compatible per-image ``.pt`` files;
 * resumable: a ``manifest.json`` records processed image paths; re-running
   skips them (idempotent, like the reference's skip-existing check at
-  :139-140).
+  :139-140);
+* **multi-host**: SURVEY.md §2.7 names pod-slice scale-out of this
+  pipeline as the DCN use case. ``--num_shards/--shard_id`` (default:
+  auto from the JAX process topology after
+  ``fer_vit_tpu.core.distributed.initialize``) round-robin-partition the
+  deterministic global image list across workers; each worker writes
+  packs under its own namespace (``latents_pack_w{id}_XXXX.npz``) and
+  keeps its own resume manifest, so concurrent workers sharing one
+  output directory never collide, and
+  :class:`fer_vit_tpu.data.latent_store.LatentStore` reads the merged
+  result directly (it loads every ``.npz`` shard in the directory).
 """
 
 from __future__ import annotations
@@ -114,10 +124,11 @@ def _decode_batches(
 
 class ShardWriter:
     def __init__(self, out_dir: str, shard_size: int = SHARD_SIZE,
-                 start_index: int = 0):
+                 start_index: int = 0, prefix: str = "latents_pack"):
         self.out_dir = out_dir
         self.shard_size = shard_size
         self.shard_index = start_index
+        self.prefix = prefix
         self._lat: List[np.ndarray] = []
         self._lab: List[int] = []
         self._paths: List[str] = []
@@ -140,7 +151,7 @@ class ShardWriter:
             return []
         lat = np.concatenate(self._lat)[: len(self._paths)]
         path = os.path.join(self.out_dir,
-                            f"latents_pack_{self.shard_index:04d}.npz")
+                            f"{self.prefix}_{self.shard_index:04d}.npz")
         np.savez(path, latents=lat.astype(np.float32),
                  labels=np.asarray(self._lab, np.int32),
                  paths=np.asarray(self._paths))
@@ -151,6 +162,31 @@ class ShardWriter:
         return written
 
 
+def resolve_worker_shard(num_shards: Optional[int],
+                         shard_id: Optional[int]) -> Tuple[int, int]:
+    """Resolve the (num_shards, shard_id) pair for this worker.
+
+    ``num_shards in (None, 0)`` → auto from the JAX process topology
+    (1/0 in a single process; after
+    :func:`fer_vit_tpu.core.distributed.initialize` on a pod slice, each
+    host takes its ``jax.process_index()``-th partition automatically).
+    Explicit values always win — e.g. CPU farms that shard without JAX
+    distributed init.
+    """
+    if num_shards in (None, 0):
+        import jax
+
+        num_shards = jax.process_count()
+        if shard_id in (None, -1):
+            shard_id = jax.process_index()
+    elif shard_id in (None, -1):
+        shard_id = 0
+    if not 0 <= shard_id < num_shards:
+        raise ValueError(
+            f"shard_id {shard_id} out of range for num_shards {num_shards}")
+    return num_shards, shard_id
+
+
 def generate_latents(
     data_root: str,
     latent_out: str,
@@ -159,14 +195,28 @@ def generate_latents(
     per_image_pt: bool = False,
     encoder=None,
     shard_size: int = SHARD_SIZE,
+    num_shards: Optional[int] = 1,
+    shard_id: Optional[int] = 0,
 ) -> int:
     """Run the pipeline; returns number of newly encoded images."""
     import jax.numpy as jnp
 
     from fer_vit_tpu.encoders.psp import EncoderWrapper
 
+    num_shards, shard_id = resolve_worker_shard(num_shards, shard_id)
+    # Per-worker namespaces: the global image list is deterministic
+    # (sorted class walk), so a round-robin partition is stable across
+    # runs and workers; each worker's packs and resume manifest carry
+    # its shard id, so N workers sharing latent_out never collide.
+    if num_shards > 1:
+        pack_prefix = f"latents_pack_w{shard_id:02d}"
+        manifest_name = f"manifest_w{shard_id:02d}_of_{num_shards:02d}.json"
+    else:
+        pack_prefix = "latents_pack"
+        manifest_name = "manifest.json"
+
     os.makedirs(latent_out, exist_ok=True)
-    manifest_path = os.path.join(latent_out, "manifest.json")
+    manifest_path = os.path.join(latent_out, manifest_name)
     done = set()
     start_shard = 0
     if os.path.exists(manifest_path):
@@ -175,7 +225,12 @@ def generate_latents(
         done = set(manifest.get("processed", []))
         start_shard = manifest.get("next_shard", 0)
 
-    items = [it for it in collect_images(data_root) if it[0] not in done]
+    all_items = collect_images(data_root)
+    mine = [it for k, it in enumerate(all_items) if k % num_shards == shard_id]
+    items = [it for it in mine if it[0] not in done]
+    if num_shards > 1:
+        print(f"worker {shard_id}/{num_shards}: "
+              f"{len(mine)} of {len(all_items)} images in partition")
     print(f"{len(done)} already processed; {len(items)} to encode")
     if not items:
         return 0
@@ -204,7 +259,7 @@ def generate_latents(
         os.replace(tmp, manifest_path)
 
     writer = ShardWriter(latent_out, shard_size=shard_size,
-                         start_index=start_shard)
+                         start_index=start_shard, prefix=pack_prefix)
     n_done = 0
     for imgs, labels, paths, n in _decode_batches(items, batch_size, 256):
         w_plus = np.asarray(encoder.encode_batch(jnp.asarray(imgs)))[:n]
@@ -248,6 +303,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--per_image_pt", action="store_true",
                         help="also write reference-format per-image .pt files")
+    parser.add_argument("--num_shards", type=int, default=0,
+                        help="partition the image list over this many "
+                             "workers (0 = auto from the JAX process "
+                             "topology; 1 = single-worker)")
+    parser.add_argument("--shard_id", type=int, default=-1,
+                        help="this worker's partition index "
+                             "(-1 = auto: jax.process_index())")
     return parser
 
 
@@ -259,6 +321,7 @@ def main(args) -> int:
     return generate_latents(
         args.data_root, args.latent_out, args.encoder_model,
         args.batch_size, args.per_image_pt,
+        num_shards=args.num_shards, shard_id=args.shard_id,
     )
 
 

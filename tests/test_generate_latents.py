@@ -87,6 +87,61 @@ def test_crash_then_resume_loses_nothing(tmp_path):
         == [2, 2, 2, 2, 2]
 
 
+def test_sharded_workers_share_output_dir_without_collisions(tmp_path):
+    # SURVEY §2.7 multi-host use case: N workers pointed at ONE output
+    # dir must partition the input disjointly, write namespaced packs
+    # and per-worker manifests, and LatentStore must read the merger.
+    data = str(tmp_path / "data")
+    out = str(tmp_path / "latents")
+    os.makedirs(data)
+    _make_tree(data, n_per_class=2)  # 10 images
+
+    for sid in range(2):
+        n = generate_latents(data, out, encoder=_StubEncoder(),
+                             batch_size=2, shard_size=4,
+                             num_shards=2, shard_id=sid)
+        assert n == 5
+
+    # per-worker namespaces: no latents_pack_0000.npz collision
+    npzs = sorted(f for f in os.listdir(out) if f.endswith(".npz"))
+    assert all(f.startswith(("latents_pack_w00_", "latents_pack_w01_"))
+               for f in npzs), npzs
+    assert json.load(open(os.path.join(
+        out, "manifest_w00_of_02.json")))["processed"]
+    assert json.load(open(os.path.join(
+        out, "manifest_w01_of_02.json")))["processed"]
+
+    # merged read: every image exactly once, labels intact
+    store = LatentStore.load(out, pack_cache=False)
+    assert len(store) == 10
+    all_paths = []
+    for f in npzs:
+        with np.load(os.path.join(out, f)) as z:
+            all_paths.extend(z["paths"].tolist())
+    assert len(all_paths) == len(set(all_paths)) == 10
+    assert sorted(np.bincount(store.labels, minlength=7)[:5].tolist()) \
+        == [2, 2, 2, 2, 2]
+
+    # resume: both partitions are fully durable → nothing to re-encode
+    for sid in range(2):
+        assert generate_latents(data, out, encoder=_StubEncoder(),
+                                batch_size=2, shard_size=4,
+                                num_shards=2, shard_id=sid) == 0
+
+
+def test_resolve_worker_shard_validation():
+    from fer_vit_tpu.data.generate_latents import resolve_worker_shard
+
+    assert resolve_worker_shard(2, 1) == (2, 1)
+    assert resolve_worker_shard(3, -1) == (3, 0)  # explicit count, auto id
+    # auto from the (single-process) JAX topology
+    assert resolve_worker_shard(0, -1) == (1, 0)
+    with pytest.raises(ValueError, match="out of range"):
+        resolve_worker_shard(2, 2)
+    with pytest.raises(ValueError, match="out of range"):
+        resolve_worker_shard(2, -3)
+
+
 def test_per_image_pt_reference_naming_no_collisions(tmp_path):
     import torch
 
