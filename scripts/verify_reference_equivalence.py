@@ -53,6 +53,17 @@ Part F (eval contract): the reference's eval/evaluate_model.py CLI vs
   evaluation_results.json schema and numbers, artifact filenames a
   superset.
 
+Part G (long horizon): one 60-epoch latent_vit race with the plateau
+  decays firing; gates scheduler EXACTNESS (cross-replay of each side's
+  realized LR sequence through the other side's scheduler). The
+  outcome band itself is gated by part H, not by this single pair.
+
+Part H (seed distribution): the part-G config raced over N seeds per
+  side, each side with its native init/shuffle/dropout draws; the
+  tail-val-acc distributions must be statistically indistinguishable
+  (exact permutation test on the seed means). This is what separates
+  'one lucky draw' from 'something systematic favors one framework'.
+
 Writes EQUIVALENCE.json. Exit code 0 iff every check passes.
 
 Usage:
@@ -664,8 +675,13 @@ def part_b(trainer: str = "latent_vit", epochs: int = 6, n_train: int = 420,
         "tail_val_acc_max_abs_diff": tail_acc_diff,
         "best_val_acc_abs_diff": best_acc_diff,
         "tail_val_loss_max_abs_diff": tail_loss_diff,
-        "pass": bool(tail_acc_mean_diff <= 0.10
-                     and tail_loss_mean_diff <= 0.30),
+        # gates tightened r5 (VERDICT r4 weak #2): round-4 observed maxima
+        # were 0.068 / 0.121 across the three trainers; 0.08 / 0.20 keeps
+        # deterministic reruns green while halving the slack of the old
+        # 0.10 / 0.30. The long-horizon outcome-band claim is gated
+        # distributionally by part H.
+        "pass": bool(tail_acc_mean_diff <= 0.08
+                     and tail_loss_mean_diff <= 0.20),
     }
 
 
@@ -822,6 +838,13 @@ def part_g_long_horizon(epochs: int = 60, n_train: int = 420,
         "our_decay_epochs": our_decays,
         "our_scheduler_replays_reference_lr_max_abs_diff": ours_replays_ref,
         "torch_scheduler_replays_our_lr_max_abs_diff": torch_replays_ours,
+        # DIAGNOSTIC ONLY (round 5): this is ONE seed pair, and after the
+        # plateau decays collapse the LR the tail is frozen — a 60-epoch
+        # run contributes ~one independent sample of final val-acc, so a
+        # single-pair band gate can neither confirm nor refute a
+        # systematic offset. The outcome-band claim is gated
+        # distributionally by part H (5 seeds per side, this exact
+        # config; seed 42 = this pair).
         "tail_val_acc_mean_abs_diff": tail_acc_mean_diff,
         "tail_val_loss_mean_abs_diff": tail_loss_mean_diff,
         # exactness up to logging precision: the reference's LR sequence
@@ -831,11 +854,140 @@ def part_g_long_horizon(epochs: int = 60, n_train: int = 420,
         "pass": bool(
             ours_replays_ref <= 1e-9
             and torch_replays_ours <= 1e-9
-            and len(ref_decays) >= 1 and len(our_decays) >= 1
-            and tail_acc_mean_diff <= 0.10
-            and tail_loss_mean_diff <= 0.30),
+            and len(ref_decays) >= 1 and len(our_decays) >= 1),
     }
     return result
+
+
+# -- Part H: seed-distribution race (is the part-G offset systematic?) --------
+
+
+def _exact_permutation_p(a, b) -> float:
+    """Exact two-sided permutation p-value for |mean(a) − mean(b)| under
+    label exchange — every C(n+m, n) reassignment of the pooled values
+    (n=m=5 → 252, trivially enumerable; ties handled by construction)."""
+    import itertools
+
+    pooled = list(a) + list(b)
+    n, total = len(a), len(pooled)
+    s_all = sum(pooled)
+    obs = abs(sum(a) / n - (s_all - sum(a)) / (total - n))
+    count = hits = 0
+    for idx in itertools.combinations(range(total), n):
+        sa = sum(pooled[i] for i in idx)
+        stat = abs(sa / n - (s_all - sa) / (total - n))
+        hits += stat >= obs - 1e-12
+        count += 1
+    return hits / count
+
+
+def part_h_seed_distribution(seeds=(42, 43, 44, 45, 46), epochs: int = 60,
+                             n_train: int = 420, n_val: int = 280) -> dict:
+    """VERDICT r4 weak #2: part G's single pair showed a sustained +0.055
+    tail offset (ours higher). Race the SAME config over several seeds per
+    side — each side trains with its own native init/shuffle/dropout
+    draws, exactly like part G — and compare the tail-val-acc
+    DISTRIBUTIONS: an exact permutation test on the seed means plus a
+    Welch interval. One seed pair is one draw; N pairs distinguish 'one
+    lucky draw' from 'something systematic favors one framework'.
+    Reference protocol: train/train_latent_vit.py:30-40 (set_seed) +
+    :346-356 (plateau best tracking)."""
+    x, y = _make_data(n_train, seed=10)
+    vx, vy = _make_data(n_val, seed=11)
+    work = tempfile.mkdtemp(prefix="refequiv_h_")
+    _write_pt_dir(os.path.join(work, "train"), x, y)
+    _write_pt_dir(os.path.join(work, "val"), vx, vy)
+
+    base_flags = ["--latent_train_dir", os.path.join(work, "train"),
+                  "--latent_val_dir", os.path.join(work, "val"),
+                  "--epochs", str(epochs), "--batch_size", "64",
+                  "--lr", "1e-3", "--scheduler", "plateau",
+                  "--depth", "2", "--embed_dim", "64", "--heads", "4",
+                  "--mlp_dim", "128", "--dropout", "0.1", "--mixup", "0.0"]
+    tail = list(range(max(1, epochs - 4), epochs + 1))
+
+    ref_tails, our_tails, pair_diffs = [], [], []
+    try:
+        from tests.env_utils import cpu_env
+
+        env = cpu_env(REPO)
+        for seed in seeds:
+            flags = base_flags + ["--seed", str(seed)]
+            ref_cwd = os.path.join(work, f"ref_{seed}")
+            os.makedirs(ref_cwd)
+            r_ref = subprocess.run(
+                [sys.executable,
+                 os.path.join(REFERENCE_ROOT, "train/train_latent_vit.py")]
+                + flags,
+                cwd=ref_cwd, capture_output=True, text=True, timeout=7200)
+            if r_ref.returncode != 0:
+                raise RuntimeError(
+                    f"reference trainer failed (seed {seed}):\n"
+                    f"{r_ref.stderr[-3000:]}")
+            our_cwd = os.path.join(work, f"our_{seed}")
+            os.makedirs(our_cwd)
+            r_our = subprocess.run(
+                [sys.executable, "-m", "fer_vit_tpu.train.train_latent_vit"]
+                + flags + ["--no_bf16"],
+                cwd=our_cwd, env=env, capture_output=True, text=True,
+                timeout=7200)
+            if r_our.returncode != 0:
+                raise RuntimeError(
+                    f"our trainer failed (seed {seed}):\n"
+                    f"{r_our.stderr[-3000:]}")
+            ref_tr = _parse_epochs(r_ref.stdout)
+            our_tr = _parse_epochs(r_our.stdout)
+            assert set(ref_tr) == set(our_tr) == set(range(1, epochs + 1))
+            rt = sum(ref_tr[e]["val_acc"] for e in tail) / len(tail)
+            ot = sum(our_tr[e]["val_acc"] for e in tail) / len(tail)
+            ref_tails.append(rt)
+            our_tails.append(ot)
+            pair_diffs.append(ot - rt)
+            print(f"  [part H] seed {seed}: ref_tail={rt:.4f} "
+                  f"our_tail={ot:.4f} diff={ot - rt:+.4f}", flush=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+    n = len(seeds)
+    ref_mean = sum(ref_tails) / n
+    our_mean = sum(our_tails) / n
+    mean_diff = our_mean - ref_mean
+
+    def _std(v, m):
+        return (sum((t - m) ** 2 for t in v) / max(1, len(v) - 1)) ** 0.5
+
+    ref_std = _std(ref_tails, ref_mean)
+    our_std = _std(our_tails, our_mean)
+    welch_se = (ref_std ** 2 / n + our_std ** 2 / n) ** 0.5
+    p_perm = _exact_permutation_p(our_tails, ref_tails)
+    ranges_overlap = (max(ref_tails) >= min(our_tails)
+                      and max(our_tails) >= min(ref_tails))
+    # Gate: the two seed-distributions must be statistically
+    # indistinguishable (exact permutation p ≥ 0.05 on the means) or the
+    # offset must be within 2 Welch standard errors — either way the
+    # part-G pair is a draw from overlapping distributions, not evidence
+    # of a framework-systematic bias.
+    passed = bool(p_perm >= 0.05 or abs(mean_diff) <= 2 * welch_se)
+    return {
+        "trainer": "latent_vit",
+        "epochs": epochs,
+        "seeds": list(seeds),
+        "tail_epochs": tail,
+        "reference_tail_val_acc": [round(t, 4) for t in ref_tails],
+        "our_tail_val_acc": [round(t, 4) for t in our_tails],
+        "pair_diffs": [round(d, 4) for d in pair_diffs],
+        "reference_mean": round(ref_mean, 4),
+        "our_mean": round(our_mean, 4),
+        "mean_diff": round(mean_diff, 4),
+        "reference_std": round(ref_std, 4),
+        "our_std": round(our_std, 4),
+        "welch_se": round(welch_se, 4),
+        "ranges_overlap": ranges_overlap,
+        "exact_permutation_p": round(p_perm, 4),
+        "pass": passed,
+    }
 
 
 def main(argv=None) -> int:
@@ -846,6 +998,13 @@ def main(argv=None) -> int:
     parser.add_argument("--skip_part_b", action="store_true")
     parser.add_argument("--skip_part_g", action="store_true",
                         help="skip the 60-epoch long-horizon race")
+    parser.add_argument("--skip_part_h", action="store_true",
+                        help="skip the multi-seed distribution race "
+                             "(10× 60-epoch runs — the slowest part)")
+    parser.add_argument("--only_part_h", action="store_true",
+                        help="run ONLY part H and merge it into --out "
+                             "(for iterating on the seed race)")
+    parser.add_argument("--part_h_seeds", type=int, default=5)
     parser.add_argument("--out", default=os.path.join(REPO,
                                                       "EQUIVALENCE.json"))
     args = parser.parse_args(argv)
@@ -855,6 +1014,29 @@ def main(argv=None) -> int:
         print("reference tree not present; nothing to compare "
               "(set FERVIT_REFERENCE_ROOT)", file=sys.stderr)
         return 2
+
+    if args.only_part_h:
+        seeds = tuple(range(42, 42 + args.part_h_seeds))
+        res_h = part_h_seed_distribution(
+            seeds=seeds, epochs=20 if args.quick else 60)
+        print(f"[part H] {len(seeds)} seeds/side: "
+              f"ref={res_h['reference_tail_val_acc']} "
+              f"ours={res_h['our_tail_val_acc']} "
+              f"mean_diff={res_h['mean_diff']:+.4f} "
+              f"p={res_h['exact_permutation_p']:.4f} "
+              f"pass={res_h['pass']}")
+        report = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                report = json.load(f)
+        report["part_h"] = [res_h]
+        parts = [k for k in report if k.startswith("part_")]
+        report["pass"] = bool(all(
+            r["pass"] for k in parts for r in report[k]))
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"report → {args.out}  PASS={report['pass']}")
+        return 0 if res_h["pass"] else 1
 
     report = {"part_a": [], "part_b": [], "part_f": []}
     for trainer in ("latent_vit", "latent_vit_v2", "latent_cnn",
@@ -913,13 +1095,24 @@ def main(argv=None) -> int:
               f"tail_acc_diff={res_g['tail_val_acc_mean_abs_diff']:.4f} "
               f"pass={res_g['pass']}")
 
+    if not args.skip_part_h:
+        seeds = tuple(range(42, 42 + args.part_h_seeds))
+        res_h = part_h_seed_distribution(
+            seeds=seeds, epochs=20 if args.quick else 60)
+        report["part_h"] = [res_h]
+        print(f"[part H] {len(seeds)} seeds/side: "
+              f"mean_diff={res_h['mean_diff']:+.4f} "
+              f"p={res_h['exact_permutation_p']:.4f} "
+              f"pass={res_h['pass']}")
+
     ok = all(r["pass"] for r in report["part_a"]) and all(
         r["pass"] for r in report["part_b"]) and all(
         r["pass"] for r in report["part_c"]) and all(
         r["pass"] for r in report["part_d"]) and all(
         r["pass"] for r in report["part_e"]) and all(
         r["pass"] for r in report["part_f"]) and all(
-        r["pass"] for r in report.get("part_g", []))
+        r["pass"] for r in report.get("part_g", [])) and all(
+        r["pass"] for r in report.get("part_h", []))
     report["pass"] = bool(ok)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
