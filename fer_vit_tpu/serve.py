@@ -69,11 +69,19 @@ class Predictor:
 
     def __init__(self, model, variables, *, psp=None,
                  batch_size: int = 64, image_route: bool = False,
-                 input_size: Optional[int] = None, mesh=None):
+                 input_size: Optional[int] = None, mesh=None,
+                 pipeline_depth: int = 2):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        if pipeline_depth < 1:
+            raise ValueError(
+                f"pipeline_depth must be >= 1, got {pipeline_depth}")
         self.model = model
         self.batch_size = int(batch_size)
+        # multi-chunk predict() keeps up to this many async dispatches in
+        # flight (each holds one input batch on device — ~50 MB at
+        # 64×256²×3 f32); 2 = double buffering, the decode-feed default
+        self.pipeline_depth = int(pipeline_depth)
         self.image_route = bool(image_route)
         self.num_classes = int(getattr(model, "num_classes",
                                        len(EMOTION_NAMES)))
@@ -148,7 +156,8 @@ class Predictor:
     def from_checkpoint(cls, checkpoint_path: str, *,
                         psp_weights: Optional[str] = None, psp=None,
                         batch_size: int = 64, mesh=None,
-                        dtype=jnp.bfloat16) -> "Predictor":
+                        dtype=jnp.bfloat16,
+                        pipeline_depth: int = 2) -> "Predictor":
         """Load any FER checkpoint (ours or reference-format torch) and
         route it: image configs → image route, latent configs → pSp route
         (``psp_weights``: a converted encoder ``.npz``, see
@@ -165,7 +174,8 @@ class Predictor:
         if image_route:
             return cls(model, variables, batch_size=batch_size, mesh=mesh,
                        image_route=True,
-                       input_size=model_config.get("img_size", 224))
+                       input_size=model_config.get("img_size", 224),
+                       pipeline_depth=pipeline_depth)
         if psp is None:
             if psp_weights is None:
                 raise ValueError(
@@ -176,7 +186,7 @@ class Predictor:
 
             psp = EncoderWrapper.from_npz(psp_weights, dtype=dtype)
         return cls(model, variables, psp=psp, batch_size=batch_size,
-                   mesh=mesh)
+                   mesh=mesh, pipeline_depth=pipeline_depth)
 
     def describe(self) -> dict:
         return {
@@ -204,18 +214,49 @@ class Predictor:
         if len(images) == 0:
             return (np.zeros((0,), np.int32),
                     np.zeros((0, self.num_classes), np.float32))
+
+        def chunks():
+            for i in range(0, len(images), self.batch_size):
+                chunk = images[i:i + self.batch_size]
+                k = len(chunk)
+                if k < self.batch_size:
+                    pad = np.zeros((self.batch_size - k,) + chunk.shape[1:],
+                                   chunk.dtype)
+                    chunk = np.concatenate([chunk, pad])
+                yield chunk, k
+
+        return self._run_pipelined(chunks())
+
+    def _run_pipelined(self, batch_iter) -> Tuple[np.ndarray, np.ndarray]:
+        """Run ``(images, n_valid)`` batches through the jitted fn with up
+        to ``pipeline_depth`` async dispatches in flight: jax dispatch
+        returns before the device finishes, so the next batch's
+        host→device transfer + compute overlaps the previous fetch (the
+        same double-buffer discipline as the decode feed). Matters most
+        through a remote-PJRT tunnel, where each synchronous round-trip
+        costs ~0.7 s; the depth bound keeps at most depth+1 input batches
+        resident on device (~50 MB each at 64×256²×3 f32)."""
+        from collections import deque
+
         labels_out: List[np.ndarray] = []
         probs_out: List[np.ndarray] = []
-        for i in range(0, len(images), self.batch_size):
-            chunk = images[i:i + self.batch_size]
-            k = len(chunk)
-            if k < self.batch_size:
-                pad = np.zeros((self.batch_size - k,) + chunk.shape[1:],
-                               chunk.dtype)
-                chunk = np.concatenate([chunk, pad])
-            labels, probs = self._fn(*self._fn_args, self._put(chunk))
-            labels_out.append(np.asarray(labels[:k]))
-            probs_out.append(np.asarray(probs[:k], np.float32))
+        inflight: deque = deque()
+
+        def drain_one() -> None:
+            k0, l0, p0 = inflight.popleft()
+            labels_out.append(np.asarray(l0[:k0]))
+            probs_out.append(np.asarray(p0[:k0], np.float32))
+
+        for imgs, k in batch_iter:
+            labels, probs = self._fn(*self._fn_args, self._put(imgs))
+            inflight.append((k, labels, probs))
+            if len(inflight) > self.pipeline_depth:
+                drain_one()
+        while inflight:
+            drain_one()
+        if not labels_out:
+            return (np.zeros((0,), np.int32),
+                    np.zeros((0, self.num_classes), np.float32))
         return np.concatenate(labels_out), np.concatenate(probs_out)
 
     def _put(self, chunk: np.ndarray) -> jax.Array:
@@ -239,23 +280,21 @@ class Predictor:
         from fer_vit_tpu.data.generate_latents import _decode_batches
 
         items = [(p, 0) for p in paths]
-        labels_out: List[np.ndarray] = []
-        probs_out: List[np.ndarray] = []
         ok_out: List[np.ndarray] = []
-        for imgs, _labels, _paths, k in _decode_batches(
-                items, self.batch_size, self.input_size, prefetch=prefetch):
-            labels, probs = self._fn(*self._fn_args, self._put(imgs))
-            labels_out.append(np.asarray(labels[:k]))
-            probs_out.append(np.asarray(probs[:k], np.float32))
-            if return_decode_ok:
-                ok_out.append(imgs[:k].reshape(k, -1).any(axis=1))
-        if not labels_out:
-            out = (np.zeros((0,), np.int32),
-                   np.zeros((0, self.num_classes), np.float32))
-            return out + (np.zeros((0,), bool),) if return_decode_ok else out
-        out = (np.concatenate(labels_out), np.concatenate(probs_out))
+
+        def batches():
+            for imgs, _labels, _paths, k in _decode_batches(
+                    items, self.batch_size, self.input_size,
+                    prefetch=prefetch):
+                if return_decode_ok:
+                    ok_out.append(imgs[:k].reshape(k, -1).any(axis=1))
+                yield imgs, k
+
+        out = self._run_pipelined(batches())
         if return_decode_ok:
-            return out + (np.concatenate(ok_out),)
+            ok = (np.concatenate(ok_out) if ok_out
+                  else np.zeros((0,), bool))
+            return out + (ok,)
         return out
 
     def predict_packed(self, pack_dir: str,
@@ -275,17 +314,9 @@ class Predictor:
                 f"pack decoded at {manifest['size']}px but this predictor "
                 f"expects {self.input_size}px — repack with "
                 f"--size {self.input_size}")
-        labels_out: List[np.ndarray] = []
-        probs_out: List[np.ndarray] = []
-        for imgs, k in iter_packed_batches(pack_dir, self.batch_size,
-                                           prefetch=prefetch):
-            labels, probs = self._fn(*self._fn_args, self._put(imgs))
-            labels_out.append(np.asarray(labels[:k]))
-            probs_out.append(np.asarray(probs[:k], np.float32))
-        if not labels_out:
-            return (np.zeros((0,), np.int32),
-                    np.zeros((0, self.num_classes), np.float32))
-        return np.concatenate(labels_out), np.concatenate(probs_out)
+        return self._run_pipelined(
+            iter_packed_batches(pack_dir, self.batch_size,
+                                prefetch=prefetch))
 
     def warmup(self) -> None:
         """Compile the pipeline before serving traffic."""
@@ -626,6 +657,10 @@ def build_predict_parser() -> argparse.ArgumentParser:
                         "latent-space checkpoints)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--top_k", type=int, default=1)
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="async device dispatches kept in flight "
+                        "(overlaps transfer+compute with fetch; 1 = "
+                        "synchronous per batch)")
     _add_dp_flag(p)
     return p
 
@@ -654,7 +689,8 @@ def predict_main(args) -> dict:
         raise SystemExit("pass exactly one of --input or --packed")
     predictor = Predictor.from_checkpoint(
         args.checkpoint_path, psp_weights=args.psp_weights,
-        batch_size=args.batch_size, mesh=_mesh_from_flag(args.dp_devices))
+        batch_size=args.batch_size, mesh=_mesh_from_flag(args.dp_devices),
+        pipeline_depth=getattr(args, "pipeline_depth", 2))
     if args.packed is not None:
         from fer_vit_tpu.data.image_packs import read_manifest
 
@@ -733,7 +769,8 @@ def build_serve_parser() -> argparse.ArgumentParser:
 def serve_main(args) -> None:
     predictor = Predictor.from_checkpoint(
         args.checkpoint_path, psp_weights=args.psp_weights,
-        batch_size=args.batch_size, mesh=_mesh_from_flag(args.dp_devices))
+        batch_size=args.batch_size, mesh=_mesh_from_flag(args.dp_devices),
+        pipeline_depth=getattr(args, "pipeline_depth", 2))
     print(f"compiling {predictor.describe()} ...")
     predictor.warmup()
     server = make_server(predictor, host=args.host, port=args.port,

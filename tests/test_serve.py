@@ -90,6 +90,24 @@ def test_padding_invariance_across_batch_sizes(tiny_psp, tiny_model):
         np.testing.assert_allclose(probs, outs[0][1], atol=2e-5)
 
 
+def test_pipeline_depth_invariance(tiny_psp, tiny_model):
+    """Pipelined async dispatch (depth > 1) must return exactly the
+    per-chunk-synchronous (depth=1) answers, across many chunks and a
+    ragged tail — the ordering is carried by the in-flight deque."""
+    model, variables = tiny_model
+    images = _images(11, seed=5)  # batch 4 → 2 full chunks + ragged 3
+    outs = []
+    for depth in (1, 2, 4):
+        p = Predictor(model, variables, psp=tiny_psp, batch_size=4,
+                      pipeline_depth=depth)
+        outs.append(p.predict(images))
+    for labels, probs in outs[1:]:
+        np.testing.assert_array_equal(labels, outs[0][0])
+        np.testing.assert_allclose(probs, outs[0][1], atol=2e-5)
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        Predictor(model, variables, psp=tiny_psp, pipeline_depth=0)
+
+
 def test_predict_single_image_and_bad_shapes(latent_predictor):
     labels, probs = latent_predictor.predict(_images(1)[0])  # (S, S, 3)
     assert labels.shape == (1,) and probs.shape == (1, 7)
