@@ -130,3 +130,17 @@ def test_full_run_trajectory_band(trainer):
     assert res["pass"], {
         k: res[k] for k in ("tail_val_acc_mean_abs_diff",
                             "tail_val_loss_mean_abs_diff")}
+
+
+def test_part_h_permutation_test_is_exact():
+    """The part-H gate's permutation test, pinned on known orderings:
+    full separation at n=m=5 must give exactly 2/C(10,5), interleaved
+    samples must be clearly non-significant, identical samples p=1."""
+    import verify_reference_equivalence as vre
+
+    sep = vre._exact_permutation_p([1.0] * 5, [0.0] * 5)
+    assert abs(sep - 2 / 252) < 1e-12, sep
+    inter = vre._exact_permutation_p([0.70, 0.72, 0.69, 0.71, 0.70],
+                                     [0.71, 0.69, 0.71, 0.70, 0.70])
+    assert inter > 0.3, inter
+    assert vre._exact_permutation_p([0.5] * 5, [0.5] * 5) == 1.0
