@@ -660,7 +660,8 @@ def build_predict_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline_depth", type=int, default=2,
                    help="async device dispatches kept in flight "
                         "(overlaps transfer+compute with fetch; 1 = "
-                        "synchronous per batch)")
+                        "minimal overlap: one dispatch stays in flight "
+                        "while the next is issued)")
     _add_dp_flag(p)
     return p
 
