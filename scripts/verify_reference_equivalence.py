@@ -882,7 +882,8 @@ def _exact_permutation_p(a, b) -> float:
 
 
 def part_h_seed_distribution(seeds=(42, 43, 44, 45, 46), epochs: int = 60,
-                             n_train: int = 420, n_val: int = 280) -> dict:
+                             n_train: int = 420, n_val: int = 280,
+                             trainer: str = "latent_vit") -> dict:
     """VERDICT r4 weak #2: part G's single pair showed a sustained +0.055
     tail offset (ours higher). Race the SAME config over several seeds per
     side — each side trains with its own native init/shuffle/dropout
@@ -890,8 +891,12 @@ def part_h_seed_distribution(seeds=(42, 43, 44, 45, 46), epochs: int = 60,
     DISTRIBUTIONS: an exact permutation test on the seed means plus a
     Welch interval. One seed pair is one draw; N pairs distinguish 'one
     lucky draw' from 'something systematic favors one framework'.
+    ``trainer`` selects any PART_B_TRAINERS entry: ``latent_cnn`` is the
+    strongest generalization check (BatchNorm running stats + live
+    mixup — the two mechanisms most able to hide a systematic offset).
     Reference protocol: train/train_latent_vit.py:30-40 (set_seed) +
     :346-356 (plateau best tracking)."""
+    ref_rel, our_mod, model_flags = PART_B_TRAINERS[trainer]
     x, y = _make_data(n_train, seed=10)
     vx, vy = _make_data(n_val, seed=11)
     work = tempfile.mkdtemp(prefix="refequiv_h_")
@@ -902,8 +907,7 @@ def part_h_seed_distribution(seeds=(42, 43, 44, 45, 46), epochs: int = 60,
                   "--latent_val_dir", os.path.join(work, "val"),
                   "--epochs", str(epochs), "--batch_size", "64",
                   "--lr", "1e-3", "--scheduler", "plateau",
-                  "--depth", "2", "--embed_dim", "64", "--heads", "4",
-                  "--mlp_dim", "128", "--dropout", "0.1", "--mixup", "0.0"]
+                  ] + model_flags
     tail = list(range(max(1, epochs - 4), epochs + 1))
 
     ref_tails, our_tails, pair_diffs = [], [], []
@@ -916,8 +920,7 @@ def part_h_seed_distribution(seeds=(42, 43, 44, 45, 46), epochs: int = 60,
             ref_cwd = os.path.join(work, f"ref_{seed}")
             os.makedirs(ref_cwd)
             r_ref = subprocess.run(
-                [sys.executable,
-                 os.path.join(REFERENCE_ROOT, "train/train_latent_vit.py")]
+                [sys.executable, os.path.join(REFERENCE_ROOT, ref_rel)]
                 + flags,
                 cwd=ref_cwd, capture_output=True, text=True, timeout=7200)
             if r_ref.returncode != 0:
@@ -927,7 +930,7 @@ def part_h_seed_distribution(seeds=(42, 43, 44, 45, 46), epochs: int = 60,
             our_cwd = os.path.join(work, f"our_{seed}")
             os.makedirs(our_cwd)
             r_our = subprocess.run(
-                [sys.executable, "-m", "fer_vit_tpu.train.train_latent_vit"]
+                [sys.executable, "-m", our_mod]
                 + flags + ["--no_bf16"],
                 cwd=our_cwd, env=env, capture_output=True, text=True,
                 timeout=7200)
@@ -971,7 +974,7 @@ def part_h_seed_distribution(seeds=(42, 43, 44, 45, 46), epochs: int = 60,
     # of a framework-systematic bias.
     passed = bool(p_perm >= 0.05 or abs(mean_diff) <= 2 * welch_se)
     return {
-        "trainer": "latent_vit",
+        "trainer": trainer,
         "epochs": epochs,
         "seeds": list(seeds),
         "tail_epochs": tail,
@@ -1005,6 +1008,11 @@ def main(argv=None) -> int:
                         help="run ONLY part H and merge it into --out "
                              "(for iterating on the seed race)")
     parser.add_argument("--part_h_seeds", type=int, default=5)
+    parser.add_argument("--part_h_trainer", default="latent_vit",
+                        choices=tuple(PART_B_TRAINERS),
+                        help="which trainer to race in part H "
+                             "(latent_cnn = BN running stats + live "
+                             "mixup, the strongest generalization check)")
     parser.add_argument("--out", default=os.path.join(REPO,
                                                       "EQUIVALENCE.json"))
     args = parser.parse_args(argv)
@@ -1018,8 +1026,9 @@ def main(argv=None) -> int:
     if args.only_part_h:
         seeds = tuple(range(42, 42 + args.part_h_seeds))
         res_h = part_h_seed_distribution(
-            seeds=seeds, epochs=20 if args.quick else 60)
-        print(f"[part H] {len(seeds)} seeds/side: "
+            seeds=seeds, epochs=20 if args.quick else 60,
+            trainer=args.part_h_trainer)
+        print(f"[part H] {args.part_h_trainer}, {len(seeds)} seeds/side: "
               f"ref={res_h['reference_tail_val_acc']} "
               f"ours={res_h['our_tail_val_acc']} "
               f"mean_diff={res_h['mean_diff']:+.4f} "
@@ -1029,7 +1038,11 @@ def main(argv=None) -> int:
         if os.path.exists(args.out):
             with open(args.out) as f:
                 report = json.load(f)
-        report["part_h"] = [res_h]
+        # merge by trainer: iterating on one trainer's race must not
+        # clobber the others' recorded results
+        kept = [r for r in report.get("part_h", [])
+                if r.get("trainer") != args.part_h_trainer]
+        report["part_h"] = kept + [res_h]
         parts = [k for k in report if k.startswith("part_")]
         report["pass"] = bool(all(
             r["pass"] for k in parts for r in report[k]))
