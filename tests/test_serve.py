@@ -211,6 +211,40 @@ def test_predict_packed_matches_array_predict(latent_predictor, tmp_path):
         latent_predictor.predict_packed(bad)
 
 
+def test_pipeline_depth_invariance_on_file_and_packed_routes(
+        latent_predictor, tmp_path):
+    """The file and packed routes share _run_pipelined with predict();
+    their answers must be depth-invariant too, and mutating
+    pipeline_depth on a live Predictor must take effect per call
+    (scripts/measure_pipeline_depth.py relies on exactly that)."""
+    from PIL import Image
+
+    from fer_vit_tpu.data.image_packs import write_image_pack
+
+    images = _images(11, seed=37)  # batch 4 → 2 full chunks + ragged 3
+    src = tmp_path / "src"
+    src.mkdir()
+    paths = []
+    for i, img in enumerate(images):
+        p = str(src / f"{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    pack = str(tmp_path / "pack")
+    write_image_pack(paths, pack, size=32, shard_size=4)
+
+    baseline = latent_predictor.predict(images)
+    orig_depth = latent_predictor.pipeline_depth
+    try:
+        for depth in (1, 3):
+            latent_predictor.pipeline_depth = depth
+            for labels, probs in (latent_predictor.predict_files(paths),
+                                  latent_predictor.predict_packed(pack)):
+                np.testing.assert_array_equal(labels, baseline[0])
+                np.testing.assert_allclose(probs, baseline[1], atol=2e-5)
+    finally:
+        latent_predictor.pipeline_depth = orig_depth
+
+
 # -- Predictor: checkpoint construction ----------------------------------------
 
 
