@@ -100,3 +100,7 @@ def serve():
 
 def pack_images():
     return _run("fer_vit_tpu.data.image_packs")
+
+
+def export_aot():
+    return _run("fer_vit_tpu.export")

@@ -77,6 +77,8 @@ class Predictor:
             raise ValueError(
                 f"pipeline_depth must be >= 1, got {pipeline_depth}")
         self.model = model
+        self._model_name = type(model).__name__
+        self._input_dtypes = None  # set by from_exported: pinned dtypes
         self.batch_size = int(batch_size)
         # multi-chunk predict() keeps up to this many async dispatches in
         # flight (each holds one input batch on device — ~50 MB at
@@ -188,10 +190,46 @@ class Predictor:
         return cls(model, variables, psp=psp, batch_size=batch_size,
                    mesh=mesh, pipeline_depth=pipeline_depth)
 
+    @classmethod
+    def from_exported(cls, artifact_dir: str, *,
+                      pipeline_depth: int = 2) -> "Predictor":
+        """Load an AOT artifact (``fervit-export`` /
+        :func:`fer_vit_tpu.export.export_predictor`) — the full pipeline
+        reloads from serialized StableHLO + a weights file, with no model
+        code, converters, or torch on the path. Batch size, input size,
+        and the input-dtype set are pinned by the artifact; calls
+        dispatch to the matching exported program per dtype, and
+        unsupported dtypes are rejected loudly in :meth:`_put`.
+        Single-device only (an exported module is a closed program): for
+        multi-chip serving use ``from_checkpoint`` with a mesh."""
+        from fer_vit_tpu.export import load_exported
+
+        calls_by_dtype, weight_args, meta = load_exported(artifact_dir)
+        self = cls.__new__(cls)
+        self.model = None
+        self._model_name = meta["model"]
+        self._input_dtypes = tuple(calls_by_dtype)
+        self.batch_size = int(meta["batch_size"])
+        self.pipeline_depth = int(pipeline_depth)
+        self.image_route = meta["route"] == "image"
+        self.num_classes = int(meta["num_classes"])
+        self.mesh = None
+
+        def dispatch(*args):
+            return calls_by_dtype[np.dtype(args[-1].dtype)](*args)
+
+        self._fn = dispatch
+        # msgpack_restore yields host (numpy) arrays; commit them to
+        # device ONCE — leaving them host-side would re-upload every
+        # weight on every call (jit does not cache numpy operands)
+        self._fn_args = jax.device_put(weight_args)
+        self.input_size = int(meta["input_size"])
+        return self
+
     def describe(self) -> dict:
         return {
             "route": "image" if self.image_route else "latent",
-            "model": type(self.model).__name__,
+            "model": self._model_name,
             "batch_size": self.batch_size,
             "input_size": self.input_size,
             "num_classes": self.num_classes,
@@ -260,6 +298,16 @@ class Predictor:
         return np.concatenate(labels_out), np.concatenate(probs_out)
 
     def _put(self, chunk: np.ndarray) -> jax.Array:
+        if (self._input_dtypes is not None
+                and chunk.dtype not in self._input_dtypes):
+            # exported artifacts pin their input signatures; a silent
+            # cast here could change values (float 0-1 vs uint8 0-255),
+            # so reject instead and name the fix.
+            raise ValueError(
+                f"this exported predictor pins input dtypes "
+                f"{[d.name for d in self._input_dtypes]}, got "
+                f"{chunk.dtype}; re-export with --input_dtypes including "
+                f"{chunk.dtype}, or feed a supported dtype")
         if self.mesh is None:
             return jnp.asarray(chunk)
         from fer_vit_tpu.core.mesh import batch_sharding
@@ -642,8 +690,13 @@ def _collect_inputs(inputs: Sequence[str]) -> List[str]:
 def build_predict_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Offline batch FER prediction over image files")
-    p.add_argument("--checkpoint_path", required=True,
-                   help="FER checkpoint (ours or reference-format torch)")
+    p.add_argument("--checkpoint_path", default=None,
+                   help="FER checkpoint (ours or reference-format torch); "
+                        "mutually exclusive with --exported")
+    p.add_argument("--exported", default=None,
+                   help="AOT artifact directory (fervit-export) — reloads "
+                        "the compiled pipeline without model code; "
+                        "mutually exclusive with --checkpoint_path")
     p.add_argument("--input", default=None, nargs="+",
                    help="image files and/or directories (recursive)")
     p.add_argument("--packed", default=None,
@@ -685,13 +738,29 @@ def _mesh_from_flag(dp_devices: int):
     return make_mesh(MeshConfig(data=n, model=1))
 
 
-def predict_main(args) -> dict:
-    if (args.input is None) == (getattr(args, "packed", None) is None):
-        raise SystemExit("pass exactly one of --input or --packed")
-    predictor = Predictor.from_checkpoint(
+def _predictor_from_args(args) -> "Predictor":
+    exported = getattr(args, "exported", None)
+    if (args.checkpoint_path is None) == (exported is None):
+        raise SystemExit(
+            "pass exactly one of --checkpoint_path or --exported")
+    if exported is not None:
+        if getattr(args, "dp_devices", 1) != 1:
+            raise SystemExit(
+                "--exported is a closed single-device program and cannot "
+                "shard over --dp_devices; use --checkpoint_path for "
+                "multi-chip serving")
+        return Predictor.from_exported(
+            exported, pipeline_depth=getattr(args, "pipeline_depth", 2))
+    return Predictor.from_checkpoint(
         args.checkpoint_path, psp_weights=args.psp_weights,
         batch_size=args.batch_size, mesh=_mesh_from_flag(args.dp_devices),
         pipeline_depth=getattr(args, "pipeline_depth", 2))
+
+
+def predict_main(args) -> dict:
+    if (args.input is None) == (getattr(args, "packed", None) is None):
+        raise SystemExit("pass exactly one of --input or --packed")
+    predictor = _predictor_from_args(args)
     if args.packed is not None:
         from fer_vit_tpu.data.image_packs import read_manifest
 
@@ -721,7 +790,8 @@ def predict_main(args) -> dict:
         })
     failures = [p for p, ok in zip(paths, decode_ok) if not ok]
     report = {
-        "checkpoint": args.checkpoint_path,
+        "checkpoint": args.checkpoint_path or getattr(args, "exported",
+                                                      None),
         "model": predictor.describe(),
         "num_images": len(paths),
         "decode_failures": failures,
@@ -744,7 +814,12 @@ def predict_main(args) -> dict:
 def build_serve_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="FER inference HTTP server with dynamic batching")
-    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--checkpoint_path", default=None,
+                   help="FER checkpoint (ours or reference-format torch); "
+                        "mutually exclusive with --exported")
+    p.add_argument("--exported", default=None,
+                   help="AOT artifact directory (fervit-export); "
+                        "mutually exclusive with --checkpoint_path")
     p.add_argument("--psp_weights", default=None,
                    help="converted pSp encoder .npz (required for "
                         "latent-space checkpoints)")
@@ -768,10 +843,7 @@ def build_serve_parser() -> argparse.ArgumentParser:
 
 
 def serve_main(args) -> None:
-    predictor = Predictor.from_checkpoint(
-        args.checkpoint_path, psp_weights=args.psp_weights,
-        batch_size=args.batch_size, mesh=_mesh_from_flag(args.dp_devices),
-        pipeline_depth=getattr(args, "pipeline_depth", 2))
+    predictor = _predictor_from_args(args)
     print(f"compiling {predictor.describe()} ...")
     predictor.warmup()
     server = make_server(predictor, host=args.host, port=args.port,

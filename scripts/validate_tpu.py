@@ -20,10 +20,13 @@ Stages
   serve     the serving surface (fer_vit_tpu/serve.py): checkpoint →
             Predictor → native-decode file predictions → HTTP server
             round-trip equality against the offline path
+  export    the AOT export path (fer_vit_tpu/export.py): Predictor →
+            StableHLO artifact → from_exported → identical answers
+            (production-scale pSp variant: scripts/validate_export.py)
 
 Each stage prints `<stage> OK`; a failing stage is recorded and the run
 exits non-zero at the end. Per-round machine-readable record:
-VALIDATE_r<k>.json (all four stages passed on the v5e tunnel chip).
+VALIDATE_r<k>.json (all stages passed on the v5e tunnel chip).
 """
 
 from __future__ import annotations
@@ -239,9 +242,43 @@ def stage_serve() -> None:
     print(f"serve OK (http label={body['label_name']})", flush=True)
 
 
+def stage_export() -> None:
+    """The AOT export path on chip: export a Predictor to a StableHLO
+    artifact (fer_vit_tpu/export.py), reload with from_exported, and
+    require the reloaded program to answer identically. Small ImageViT
+    config (fast chip compile); scripts/validate_export.py runs the
+    production-scale pSp variant."""
+    import jax
+    import jax.numpy as jnp
+
+    from fer_vit_tpu.export import export_predictor
+    from fer_vit_tpu.models import ImageViT
+    from fer_vit_tpu.serve import Predictor
+
+    model = ImageViT(img_size=64, patch_size=8, embed_dim=64, depth=2,
+                     heads=2, num_classes=7)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           deterministic=True)
+    predictor = Predictor(model, variables, image_route=True,
+                          batch_size=8, input_size=64)
+    images = np.random.default_rng(0).integers(
+        0, 256, size=(11, 64, 64, 3), dtype=np.uint8)
+    labels_live, probs_live = predictor.predict(images)
+
+    td = tempfile.mkdtemp(prefix="fervit_validate_export_")
+    art = os.path.join(td, "artifact")
+    export_predictor(predictor, art)
+    reloaded = Predictor.from_exported(art)
+    labels_aot, probs_aot = reloaded.predict(images)
+    assert (labels_live == labels_aot).all(), (labels_live, labels_aot)
+    assert np.allclose(probs_live, probs_aot, atol=1e-3), float(
+        np.max(np.abs(probs_live - probs_aot)))
+    print("export OK (AOT artifact answers == live)", flush=True)
+
+
 STAGES = {"encoder": stage_encoder, "train": stage_train,
           "genlat": stage_genlat, "afs": stage_afs,
-          "serve": stage_serve}
+          "serve": stage_serve, "export": stage_export}
 
 
 def main() -> None:

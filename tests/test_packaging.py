@@ -65,6 +65,7 @@ def test_console_entry_points_exist(installed):
         "fervit-generate-latents", "fervit-compute-expression-direction",
         "fervit-export-torch-checkpoint",
         "fervit-predict", "fervit-serve", "fervit-pack-images",
+        "fervit-export",
     }
     assert expected <= set(os.listdir(bin_dir))
 
