@@ -195,6 +195,47 @@ def test_predict_cli_exported_route(latent_predictor, tmp_path):
         map(int, live_labels))
 
 
+def test_http_server_over_exported_artifact(latent_predictor, tmp_path):
+    """make_server + dynamic batcher on a from_exported predictor: the
+    full serving stack runs against the AOT artifact."""
+    import io
+    import json as json_mod
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from fer_vit_tpu.serve import make_server
+
+    art = str(tmp_path / "art")
+    export_predictor(latent_predictor, art)
+    reloaded = Predictor.from_exported(art)
+    srv = make_server(reloaded, host="127.0.0.1", port=0, max_wait_ms=5.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        image = _images(1, seed=11)[0]
+        expected_label, _ = latent_predictor.predict(image[None])
+        buf = io.BytesIO()
+        Image.fromarray(image).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_port}/predict",
+            data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json_mod.loads(r.read())
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.server_port}/healthz",
+                timeout=30) as r:
+            health = json_mod.loads(r.read())
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+        srv.server_close()
+        thread.join(timeout=5)
+    assert body["label"] == int(expected_label[0])
+    assert health["model"]["model"] == "LatentViT"
+
+
 def test_predict_cli_flag_exclusivity(tmp_path):
     from fer_vit_tpu.serve import build_predict_parser, predict_main
 
